@@ -1,0 +1,28 @@
+"""Activations with exact torch-default semantics.
+
+torch nn.GELU default is the *erf* form (not tanh approx); jax.nn.gelu defaults
+to the approximation — we pin approximate=False for parity.
+torch nn.LeakyReLU default negative_slope=0.01 (ref VAE uses the default,
+model/genconvit_vae.py:18-31).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def relu(x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, 0)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def sigmoid(x: jax.Array) -> jax.Array:
+    return jax.nn.sigmoid(x)

@@ -1,0 +1,102 @@
+"""Resize as matmul — the TPU-native replacement for cv2.resize / torchvision
+Resize in the hot path.
+
+Both cv2 INTER_AREA (used on face crops, ref: model/pred_func.py:82-84) and
+(torch)bilinear (used on the VAE reconstruction, ref: model/genconvit_vae.py:105)
+are separable linear maps: out = W_h^T @ img @ W_w with tiny per-size weight
+matrices. The weights are computed once on the host (numpy, cached); the
+device does batched matmuls, which land on the MXU instead of a gather-heavy
+image op. Batched over [N,H,W,C] with einsum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=4096)
+def _area_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Exact fractional-area-average weights, [in_size, out_size].
+
+    Matches cv2.INTER_AREA decimation: output pixel o averages input span
+    [o*s, (o+1)*s), s = in/out, with fractional end-pixel weights.
+    """
+    s = in_size / out_size
+    w = np.zeros((in_size, out_size), dtype=np.float64)
+    for o in range(out_size):
+        a, b = o * s, (o + 1) * s
+        i0, i1 = int(np.floor(a)), min(int(np.ceil(b)), in_size)
+        for i in range(i0, i1):
+            w[i, o] = max(0.0, (min(b, i + 1) - max(a, i))) / s
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4096)
+def _bilinear_torch_weights(in_size: int, out_size: int, antialias: bool = True) -> np.ndarray:
+    """torchvision Resize(antialias=True) bilinear weights, [in_size, out_size].
+
+    PIL-style triangle filter: support scales with the downscale factor when
+    antialias=True; plain 2-tap lerp otherwise (align_corners=False mapping).
+    """
+    scale = in_size / out_size
+    w = np.zeros((in_size, out_size), dtype=np.float64)
+    if antialias and scale > 1.0:
+        support = scale  # triangle radius 1.0, scaled
+        inv = 1.0 / scale
+        for o in range(out_size):
+            center = (o + 0.5) * scale
+            i0 = max(int(np.floor(center - support + 0.5)), 0)
+            i1 = min(int(np.floor(center + support + 0.5)), in_size)
+            t = 1.0 - np.abs((np.arange(i0, i1) + 0.5 - center) * inv)
+            t = np.clip(t, 0.0, None)
+            tot = t.sum()
+            if tot > 0:
+                w[i0:i1, o] = t / tot
+    else:
+        for o in range(out_size):
+            c = (o + 0.5) * scale - 0.5
+            i = int(np.floor(c))
+            f = c - i
+            lo, hi = np.clip(i, 0, in_size - 1), np.clip(i + 1, 0, in_size - 1)
+            w[lo, o] += 1.0 - f
+            w[hi, o] += f
+    return w.astype(np.float32)
+
+
+def resize_weight_matrix(in_size: int, out_size: int, method: str = "area") -> np.ndarray:
+    if method == "area":
+        return _area_weights(in_size, out_size)
+    if method == "bilinear_torch":
+        return _bilinear_torch_weights(in_size, out_size, antialias=True)
+    if method == "bilinear":
+        return _bilinear_torch_weights(in_size, out_size, antialias=False)
+    raise ValueError(f"unknown resize method: {method}")
+
+
+def _apply_separable(x: jax.Array, wh: jax.Array, ww: jax.Array) -> jax.Array:
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x = x.astype(dtype)
+    # [N,h,w,C] x [h,H] -> [N,H,w,C]; then x [w,W] -> [N,H,W,C]
+    y = jnp.einsum("nhwc,hH->nHwc", x, wh.astype(dtype))
+    return jnp.einsum("nHwc,wW->nHWc", y, ww.astype(dtype))
+
+
+def resize_area(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Batched INTER_AREA-equivalent resize. x: [N,H,W,C] (float or uint8),
+    returns float. Static shapes — one compile per (in, out) size pair."""
+    wh = jnp.asarray(_area_weights(x.shape[1], out_hw[0]))
+    ww = jnp.asarray(_area_weights(x.shape[2], out_hw[1]))
+    return _apply_separable(x, wh, ww)
+
+
+def resize_bilinear_torch(x: jax.Array, out_hw: Tuple[int, int], antialias: bool = True) -> jax.Array:
+    """torchvision transforms.Resize((H,W), antialias=True) equivalent
+    (used on the VAE reconstruction, ref: model/genconvit_vae.py:105,115)."""
+    wh = jnp.asarray(_bilinear_torch_weights(x.shape[1], out_hw[0], antialias))
+    ww = jnp.asarray(_bilinear_torch_weights(x.shape[2], out_hw[1], antialias))
+    return _apply_separable(x, wh, ww)

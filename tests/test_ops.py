@@ -1,0 +1,168 @@
+"""Numerical parity of core NHWC ops against torch (CPU) layer semantics."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from genconvit_tpu import ops
+
+
+def _nhwc(x_nchw: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def _to_hwio(w_oihw: np.ndarray) -> np.ndarray:
+    return np.transpose(w_oihw, (2, 3, 1, 0))
+
+
+@pytest.mark.parametrize("stride,padding", [(1, 1), (2, 1), (1, 0), (4, 0)])
+def test_conv2d_matches_torch(rng, stride, padding):
+    x = rng.standard_normal((2, 5, 16, 16), dtype=np.float32)
+    w = rng.standard_normal((7, 5, 3, 3), dtype=np.float32) * 0.1
+    b = rng.standard_normal(7, dtype=np.float32)
+    ref = F.conv2d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+                   stride=stride, padding=padding).numpy()
+    out = ops.conv2d(jnp.asarray(_nhwc(x)), jnp.asarray(_to_hwio(w)), jnp.asarray(b),
+                     stride=stride, padding=padding)
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise_conv_matches_torch(rng):
+    c = 8
+    x = rng.standard_normal((2, c, 14, 14), dtype=np.float32)
+    w = rng.standard_normal((c, 1, 7, 7), dtype=np.float32) * 0.1
+    b = rng.standard_normal(c, dtype=np.float32)
+    ref = F.conv2d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+                   padding=3, groups=c).numpy()
+    # HWIO with groups=C: kernel [kh,kw,1,C]
+    w_j = np.transpose(w, (2, 3, 1, 0))
+    out = ops.conv2d(jnp.asarray(_nhwc(x)), jnp.asarray(w_j), jnp.asarray(b),
+                     padding=3, groups=c)
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s", [(2, 2), (4, 2)])
+def test_conv_transpose2d_matches_torch(rng, k, s):
+    x = rng.standard_normal((2, 6, 7, 7), dtype=np.float32)
+    w = rng.standard_normal((6, 4, k, k), dtype=np.float32) * 0.1  # (Cin,Cout,kh,kw)
+    b = rng.standard_normal(4, dtype=np.float32)
+    ref = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                             torch.from_numpy(b), stride=s).numpy()
+    # our storage: HWIO of the forward view = permute(2,3,0,1)
+    w_j = np.transpose(w, (2, 3, 0, 1))
+    out = ops.conv_transpose2d(jnp.asarray(_nhwc(x)), jnp.asarray(w_j), jnp.asarray(b),
+                               stride=s)
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool_matches_torch(rng):
+    x = rng.standard_normal((2, 3, 16, 16), dtype=np.float32)
+    ref = F.max_pool2d(torch.from_numpy(x), 2, 2).numpy()
+    out = ops.max_pool2d(jnp.asarray(_nhwc(x)), 2, 2)
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_layer_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 7, 7, 32), dtype=np.float32)
+    g = rng.standard_normal(32, dtype=np.float32)
+    b = rng.standard_normal(32, dtype=np.float32)
+    ref = F.layer_norm(torch.from_numpy(x), (32,), torch.from_numpy(g),
+                       torch.from_numpy(b), eps=1e-6).numpy()
+    out = ops.layer_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_norm_eval_matches_torch(rng):
+    c = 16
+    x = rng.standard_normal((4, c, 8, 8), dtype=np.float32)
+    bn = torch.nn.BatchNorm2d(c)
+    bn.weight.data = torch.from_numpy(rng.standard_normal(c, dtype=np.float32))
+    bn.bias.data = torch.from_numpy(rng.standard_normal(c, dtype=np.float32))
+    bn.running_mean.data = torch.from_numpy(rng.standard_normal(c, dtype=np.float32))
+    bn.running_var.data = torch.from_numpy(np.abs(rng.standard_normal(c, dtype=np.float32)) + 0.5)
+    bn.eval()
+    with torch.no_grad():
+        ref = bn(torch.from_numpy(x)).numpy()
+    params = {
+        "scale": jnp.asarray(bn.weight.detach().numpy()),
+        "bias": jnp.asarray(bn.bias.detach().numpy()),
+        "mean": jnp.asarray(bn.running_mean.numpy()),
+        "var": jnp.asarray(bn.running_var.numpy()),
+    }
+    out, _ = ops.batch_norm(jnp.asarray(_nhwc(x)), params, train=False)
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_batch_norm_train_matches_torch(rng):
+    c = 8
+    x = rng.standard_normal((4, c, 6, 6), dtype=np.float32)
+    bn = torch.nn.BatchNorm2d(c)
+    bn.train()
+    ref = bn(torch.from_numpy(x)).detach().numpy()
+    params = {
+        "scale": jnp.ones(c), "bias": jnp.zeros(c),
+        "mean": jnp.zeros(c), "var": jnp.ones(c),
+    }
+    out, new_stats = ops.batch_norm(jnp.asarray(_nhwc(x)), params, train=True)
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_stats["mean"]), bn.running_mean.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_stats["var"]), bn.running_var.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_gelu_is_exact_erf():
+    x = jnp.linspace(-3, 3, 101)
+    ref = torch.nn.GELU()(torch.from_numpy(np.asarray(x))).numpy()
+    np.testing.assert_allclose(np.asarray(ops.gelu(x)), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_leaky_relu_matches_torch():
+    x = jnp.linspace(-3, 3, 101)
+    ref = F.leaky_relu(torch.from_numpy(np.asarray(x))).numpy()
+    np.testing.assert_allclose(np.asarray(ops.leaky_relu(x)), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_linear_matches_torch(rng):
+    x = rng.standard_normal((4, 10), dtype=np.float32)
+    w = rng.standard_normal((5, 10), dtype=np.float32)  # torch (out,in)
+    b = rng.standard_normal(5, dtype=np.float32)
+    ref = F.linear(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b)).numpy()
+    out = ops.linear(jnp.asarray(x), jnp.asarray(w.T), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+class TestResize:
+    def test_area_matches_cv2_downscale_float(self, rng):
+        import cv2
+        img = rng.random((57, 91, 3), dtype=np.float32)
+        ref = cv2.resize(img, (24, 16), interpolation=cv2.INTER_AREA)
+        out = ops.resize_area(jnp.asarray(img[None]), (16, 24))[0]
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+    def test_area_matches_cv2_downscale_uint8(self, rng):
+        import cv2
+        img = (rng.random((300, 260, 3)) * 255).astype(np.uint8)
+        ref = cv2.resize(img, (224, 224), interpolation=cv2.INTER_AREA).astype(np.float32)
+        out = np.asarray(ops.resize_area(jnp.asarray(img[None]), (224, 224))[0])
+        # cv2 uses fixed-point accumulation on uint8; allow ~1 LSB
+        assert np.abs(out - ref).max() <= 1.0
+
+    def test_bilinear_torch_upscale(self, rng):
+        # torchvision Resize(antialias=True) on tensors == F.interpolate(
+        # mode='bilinear', align_corners=False, antialias=True)
+        img = rng.random((1, 3, 112, 112), dtype=np.float32)
+        ref = F.interpolate(torch.from_numpy(img), (224, 224), mode="bilinear",
+                            align_corners=False, antialias=True).numpy()
+        out = ops.resize_bilinear_torch(jnp.asarray(_nhwc(img)), (224, 224))
+        np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-4, atol=1e-4)
+
+    def test_bilinear_torch_downscale_antialias(self, rng):
+        img = rng.random((1, 3, 224, 224), dtype=np.float32)
+        ref = F.interpolate(torch.from_numpy(img), (96, 96), mode="bilinear",
+                            align_corners=False, antialias=True).numpy()
+        out = ops.resize_bilinear_torch(jnp.asarray(_nhwc(img)), (96, 96))
+        np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-3, atol=1e-4)
