@@ -27,9 +27,11 @@ class ModelConfig:
     # Q1 (SURVEY.md §8): the reference's HybridEmbed/Swin params never run in the
     # forward graph of a timm ConvNeXt. Off by default; opt-in research path.
     use_hybrid_embed: bool = False
-    # Carry the (dead) embedder/hybrid-embed parameter groups so converted
-    # reference checkpoints round-trip losslessly (SURVEY.md §8 B9).
-    carry_dead_params: bool = True
+    # Carry the (dead) embedder/hybrid-embed parameter groups in *randomly
+    # initialized* trees so native checkpoints mirror converted reference ones
+    # (SURVEY.md §8 B9). The converter always carries them (its own flag);
+    # random init skips them by default for speed.
+    carry_dead_params: bool = False
 
     @property
     def size(self) -> str:

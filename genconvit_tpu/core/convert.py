@@ -1,0 +1,250 @@
+"""Torch .pth -> JAX param-tree converter.
+
+Converts the reference's published checkpoints (HuggingFace
+`genconvit_ed_inference.pth` / `genconvit_vae_inference.pth`, which are
+timm-0.6.5-era GenConViTED/GenConViTVAE state dicts — ref: model/genconvit.py:18-21
+accepts both bare and {'state_dict': ...}-nested layouts) into this
+framework's param pytrees.
+
+Layout transforms:
+  conv   OIHW -> HWIO            (transpose 2,3,1,0)
+  convT  (Cin,Cout,kh,kw) -> HWIO of the forward view (transpose 2,3,0,1)
+  linear (out,in) -> (in,out)    (transpose)
+  LN/BN  weight/bias(/running_*) -> scale/bias(/mean/var)
+
+Dead parameter groups (SURVEY.md §8 B9) — the Swin `embedder`, the
+`*.patch_embed.{backbone,proj}` HybridEmbed copy (shared tensors with
+`embedder`), VAE `encoder.fc1/fc2`, `fc3` — are carried so checkpoints
+round-trip; the inference engine prunes them before device upload
+(core/pytree.live_params).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / array -> float32 numpy (fp16 checkpoints upcast)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    arr = np.asarray(t)
+    if arr.dtype == np.float16:
+        arr = arr.astype(np.float32)
+    return arr
+
+
+def _conv(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def _convT(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 0, 1),
+        "bias": _np(sd[f"{name}.bias"]),
+    }
+
+
+def _linear(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def _norm(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])}
+
+
+def _bn(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[f"{name}.weight"]),
+        "bias": _np(sd[f"{name}.bias"]),
+        "mean": _np(sd[f"{name}.running_mean"]),
+        "var": _np(sd[f"{name}.running_var"]),
+    }
+
+
+def _sub(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _count(sd: Mapping[str, Any], pattern: str) -> int:
+    """Number of distinct integer captures for a regex over the keys."""
+    found = set()
+    rx = re.compile(pattern)
+    for k in sd:
+        m = rx.match(k)
+        if m:
+            found.add(int(m.group(1)))
+    return len(found)
+
+
+# ---------------------------------------------------------------- ConvNeXt
+
+
+def convert_convnext(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """timm-0.6.5 ConvNeXt state dict (keys: stem.*, stages.*, head.*) ->
+    models/convnext.py param tree. Ignores foreign keys (e.g. patch_embed.*)."""
+    params: Dict[str, Any] = {
+        "stem": {"conv": _conv(sd, "stem.0"), "norm": _norm(sd, "stem.1")},
+        "stages": [],
+        "head": {"norm": _norm(sd, "head.norm"), "fc": _linear(sd, "head.fc")},
+    }
+    n_stages = _count(sd, r"stages\.(\d+)\.")
+    for si in range(n_stages):
+        stage: Dict[str, Any] = {"blocks": []}
+        if f"stages.{si}.downsample.0.weight" in sd:
+            stage["downsample"] = {
+                "norm": _norm(sd, f"stages.{si}.downsample.0"),
+                "conv": _conv(sd, f"stages.{si}.downsample.1"),
+            }
+        n_blocks = _count(sd, rf"stages\.{si}\.blocks\.(\d+)\.")
+        for bi in range(n_blocks):
+            p = f"stages.{si}.blocks.{bi}"
+            stage["blocks"].append({
+                "conv_dw": _conv(sd, f"{p}.conv_dw"),
+                "norm": _norm(sd, f"{p}.norm"),
+                "mlp": {"fc1": _linear(sd, f"{p}.mlp.fc1"),
+                        "fc2": _linear(sd, f"{p}.mlp.fc2")},
+                "gamma": _np(sd[f"{p}.gamma"]),
+            })
+        params["stages"].append(stage)
+    return params
+
+
+# ---------------------------------------------------------------- Swin
+
+
+def convert_swin(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """timm-0.6.5 Swin state dict (patch_embed.*, layers.*, norm.*, head.*) ->
+    models/swin.py param tree. relative_position_index buffers are recomputed,
+    not converted."""
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "proj": _conv(sd, "patch_embed.proj"),
+            "norm": _norm(sd, "patch_embed.norm"),
+        },
+        "layers": [],
+        "norm": _norm(sd, "norm"),
+        "head": _linear(sd, "head"),
+    }
+    n_layers = _count(sd, r"layers\.(\d+)\.")
+    for li in range(n_layers):
+        layer: Dict[str, Any] = {"blocks": []}
+        n_blocks = _count(sd, rf"layers\.{li}\.blocks\.(\d+)\.")
+        for bi in range(n_blocks):
+            p = f"layers.{li}.blocks.{bi}"
+            layer["blocks"].append({
+                "norm1": _norm(sd, f"{p}.norm1"),
+                "attn": {
+                    "qkv": _linear(sd, f"{p}.attn.qkv"),
+                    "proj": _linear(sd, f"{p}.attn.proj"),
+                    "relative_position_bias_table": _np(
+                        sd[f"{p}.attn.relative_position_bias_table"]),
+                },
+                "norm2": _norm(sd, f"{p}.norm2"),
+                "mlp": {"fc1": _linear(sd, f"{p}.mlp.fc1"),
+                        "fc2": _linear(sd, f"{p}.mlp.fc2")},
+            })
+        if f"layers.{li}.downsample.reduction.weight" in sd:
+            layer["downsample"] = {
+                "norm": _norm(sd, f"layers.{li}.downsample.norm"),
+                "reduction": _linear(sd, f"layers.{li}.downsample.reduction"),
+            }
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------------------------------------------------------- branches
+
+
+def convert_ed(sd: Mapping[str, Any], carry_dead_params: bool = True) -> Dict[str, Any]:
+    """GenConViTED state dict -> models/ed.py tree.
+    Sequential indices: encoder convs at features.{0,3,6,9,12}; decoder convTs
+    at features.{0,2,4,6,8} (ref model/genconvit_ed.py:8-61)."""
+    params: Dict[str, Any] = {
+        "encoder": [_conv(sd, f"encoder.features.{i}") for i in (0, 3, 6, 9, 12)],
+        "decoder": [_convT(sd, f"decoder.features.{i}") for i in (0, 2, 4, 6, 8)],
+        "backbone": convert_convnext(_sub(sd, "backbone.")),
+        "fc": _linear(sd, "fc"),
+        "fc2": _linear(sd, "fc2"),
+    }
+    if carry_dead_params and "embedder.patch_embed.proj.weight" in sd:
+        params["embedder"] = convert_swin(_sub(sd, "embedder."))
+        if "backbone.patch_embed.proj.weight" in sd:
+            params["hybrid_proj"] = _conv(sd, "backbone.patch_embed.proj")
+    return params
+
+
+def convert_vae(sd: Mapping[str, Any], carry_dead_params: bool = True) -> Dict[str, Any]:
+    """GenConViTVAE state dict -> models/vae.py tree.
+    Sequential indices: encoder convs at features.{0,3,6,9}, BNs at
+    features.{1,4,7,10}; decoder convTs at features.{0,2,4,6}
+    (ref model/genconvit_vae.py:10-88)."""
+    enc: Dict[str, Any] = {
+        "convs": [_conv(sd, f"encoder.features.{i}") for i in (0, 3, 6, 9)],
+        "bns": [_bn(sd, f"encoder.features.{i}") for i in (1, 4, 7, 10)],
+        "mu": _linear(sd, "encoder.mu"),
+        "var": _linear(sd, "encoder.var"),
+    }
+    if carry_dead_params:
+        enc["fc1"] = _linear(sd, "encoder.fc1")
+        enc["fc2"] = _linear(sd, "encoder.fc2")
+    params: Dict[str, Any] = {
+        "encoder": enc,
+        "decoder": [_convT(sd, f"decoder.features.{i}") for i in (0, 2, 4, 6)],
+        "backbone": convert_convnext(_sub(sd, "convnext_backbone.")),
+        "fc": _linear(sd, "fc"),
+        "fc2": _linear(sd, "fc2"),
+    }
+    if carry_dead_params:
+        params["fc3"] = _linear(sd, "fc3")
+        if "embedder.patch_embed.proj.weight" in sd:
+            params["embedder"] = convert_swin(_sub(sd, "embedder."))
+        if "convnext_backbone.patch_embed.proj.weight" in sd:
+            params["hybrid_proj"] = _conv(sd, "convnext_backbone.patch_embed.proj")
+    return params
+
+
+# ---------------------------------------------------------------- entry
+
+
+def unwrap_state_dict(obj: Any) -> Mapping[str, Any]:
+    """Accept bare state dicts and {'state_dict': ...}-nested checkpoints
+    (ref model/genconvit.py:18-21) and train.py-style
+    {'epoch','state_dict','optimizer','min_loss'} dicts (ref train.py:110-121)."""
+    if isinstance(obj, Mapping) and "state_dict" in obj:
+        return obj["state_dict"]
+    return obj
+
+
+def detect_branch(sd: Mapping[str, Any]) -> str:
+    """'ed' | 'vae' from the key signature."""
+    if any(k.startswith("convnext_backbone.") for k in sd):
+        return "vae"
+    return "ed"
+
+
+def convert_checkpoint(path_or_obj: Any, which: Optional[str] = None,
+                       carry_dead_params: bool = True) -> Dict[str, Any]:
+    """Load a reference .pth (path or already-loaded object) and convert.
+    Returns the branch param tree; `which` overrides auto-detection."""
+    obj = path_or_obj
+    if isinstance(obj, str):
+        import torch  # local import: torch is only needed for .pth IO
+        obj = torch.load(obj, map_location="cpu", weights_only=False)
+    sd = unwrap_state_dict(obj)
+    which = which or detect_branch(sd)
+    if which == "ed":
+        return convert_ed(sd, carry_dead_params)
+    if which == "vae":
+        return convert_vae(sd, carry_dead_params)
+    raise ValueError(f"unknown branch {which!r}")

@@ -1,0 +1,121 @@
+"""ConvNeXt backbone, functional NHWC implementation.
+
+Graph-equivalent to timm 0.6.5 `convnext_tiny`/`convnext_large` as consumed by
+the reference (ref: model/genconvit_ed.py:68, model/genconvit_vae.py:97): stem
+(4x4/4 conv + LN), 4 stages of [optional LN+2x2/2 downsample; blocks of
+depthwise-7x7 conv -> LN -> MLP(4x, exact GELU) -> layer-scale -> residual],
+head (global avg pool -> LN -> fc).
+
+TPU-first notes: the reference permutes NCHW<->NHWC inside every block; we are
+NHWC end-to-end so those permutes vanish. The 1x1 MLP convs are expressed as
+matmuls over the channel axis (MXU). Layer-scale folds into the fc2 matmul
+epilogue under XLA fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from genconvit_tpu.ops import conv2d, gelu, layer_norm, linear
+from genconvit_tpu.ops.init import conv_init, layer_norm_init, linear_init, trunc_normal_init
+
+CONVNEXT_CFGS: Dict[str, Dict[str, Any]] = {
+    "convnext_tiny": dict(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768)),
+    "convnext_small": dict(depths=(3, 3, 27, 3), dims=(96, 192, 384, 768)),
+    "convnext_base": dict(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024)),
+    "convnext_large": dict(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536)),
+}
+
+_LN_EPS = 1e-6
+_LS_INIT = 1e-6  # timm ls_init_value
+
+
+def init_convnext(key: jax.Array, name: str = "convnext_tiny", num_classes: int = 1000) -> Dict:
+    cfg = CONVNEXT_CFGS[name]
+    depths, dims = cfg["depths"], cfg["dims"]
+    keys = iter(jax.random.split(key, 4 + 2 * sum(depths) * 4))
+
+    params: Dict[str, Any] = {
+        "stem": {
+            "conv": conv_init(next(keys), 4, 4, 3, dims[0]),
+            "norm": layer_norm_init(dims[0]),
+        },
+        "stages": [],
+        "head": {
+            "norm": layer_norm_init(dims[-1]),
+            "fc": linear_init(next(keys), dims[-1], num_classes),
+        },
+    }
+    in_dim = dims[0]
+    for si, (depth, dim) in enumerate(zip(depths, dims)):
+        stage: Dict[str, Any] = {"blocks": []}
+        if si > 0:
+            stage["downsample"] = {
+                "norm": layer_norm_init(in_dim),
+                "conv": conv_init(next(keys), 2, 2, in_dim, dim),
+            }
+        for _ in range(depth):
+            blk = {
+                # timm inits conv/linear weights with trunc_normal(0.02); biases 0
+                "conv_dw": {
+                    "kernel": trunc_normal_init(next(keys), (7, 7, 1, dim)),
+                    "bias": jnp.zeros((dim,), jnp.float32),
+                },
+                "norm": layer_norm_init(dim),
+                "mlp": {
+                    "fc1": {
+                        "kernel": trunc_normal_init(next(keys), (dim, 4 * dim)),
+                        "bias": jnp.zeros((4 * dim,), jnp.float32),
+                    },
+                    "fc2": {
+                        "kernel": trunc_normal_init(next(keys), (4 * dim, dim)),
+                        "bias": jnp.zeros((dim,), jnp.float32),
+                    },
+                },
+                "gamma": jnp.full((dim,), _LS_INIT, jnp.float32),
+            }
+            stage["blocks"].append(blk)
+        params["stages"].append(stage)
+        in_dim = dim
+    return params
+
+
+def _block(p: Dict, x: jax.Array) -> jax.Array:
+    shortcut = x
+    dim = x.shape[-1]
+    x = conv2d(x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"], padding=3, groups=dim)
+    x = layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps=_LN_EPS)
+    x = linear(x, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"])
+    x = gelu(x)
+    x = linear(x, p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"])
+    x = x * p["gamma"].astype(x.dtype)
+    return shortcut + x
+
+
+def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
+    """[N,H,W,3] -> [N,H/32,W/32,C] feature map (pre-head)."""
+    x = conv2d(x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"], stride=4)
+    x = layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], eps=_LN_EPS)
+    for stage in params["stages"]:
+        ds = stage.get("downsample")
+        if ds is not None:
+            x = layer_norm(x, ds["norm"]["scale"], ds["norm"]["bias"], eps=_LN_EPS)
+            x = conv2d(x, ds["conv"]["kernel"], ds["conv"]["bias"], stride=2)
+        for blk in stage["blocks"]:
+            x = _block(blk, x)
+    return x
+
+
+def convnext_apply(params: Dict, x: jax.Array) -> jax.Array:
+    """Full forward: [N,H,W,3] -> [N,num_classes] (timm head: pool->LN->fc)."""
+    x = convnext_features(params, x)
+    x = jnp.mean(x, axis=(1, 2))
+    x = layer_norm(x, params["head"]["norm"]["scale"], params["head"]["norm"]["bias"], eps=_LN_EPS)
+    return linear(x, params["head"]["fc"]["kernel"], params["head"]["fc"]["bias"])
+
+
+def head_out_features(params: Dict) -> int:
+    return int(params["head"]["fc"]["kernel"].shape[-1])

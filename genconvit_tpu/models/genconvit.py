@@ -1,0 +1,76 @@
+"""GenConViT ensemble wrapper: ED and/or VAE branch dispatch.
+
+Spec source: ref model/genconvit.py —
+  net='ed'   -> ED logits                       (:66-68)
+  net='vae'  -> VAE logits (recon dropped)      (:69-70)
+  net='genconvit' -> concat(ED, VAE) on the **batch** axis (:71-74), so the
+  downstream per-frame sigmoid-mean doubles as the ensemble average.
+
+Unlike the reference CLI (where single-branch selection is unreachable, B14),
+`net` here actually works. `arch_type='v2'` is accepted and behaviorally
+identical (ref model/genconvit_v2.py is a no-op wrapper, SURVEY.md §8 B12).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from genconvit_tpu.config import Config
+from genconvit_tpu.models.ed import ed_apply, init_ed
+from genconvit_tpu.models.vae import init_vae, vae_apply
+
+VALID_NETS = ("ed", "vae", "genconvit")
+
+
+def init_genconvit(key: jax.Array, config: Config, net: str = "genconvit") -> Dict:
+    """Param tree with 'ed' and/or 'vae' branches per `net`."""
+    k_ed, k_vae = jax.random.split(key)
+    params: Dict[str, Any] = {}
+    backbone = config.model.backbone
+    if net in ("ed", "genconvit"):
+        params["ed"] = init_ed(k_ed, backbone, config.num_classes,
+                               carry_dead_params=config.model.carry_dead_params,
+                               embedder=config.model.embedder)
+    if net in ("vae", "genconvit"):
+        params["vae"] = init_vae(
+            k_vae, backbone, config.img_size,
+            latent_dims=(config.model.latent_dims
+                         if config.img_size == 224 else config.derived_latent_dims()),
+            num_classes=config.num_classes,
+            carry_dead_params=config.model.carry_dead_params,
+            embedder=config.model.embedder,
+        )
+    return params
+
+
+def genconvit_apply(
+    params: Dict, x: jax.Array, *, net: str = "genconvit",
+    rng: Optional[jax.Array] = None, sample: bool = True, train: bool = False,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """x: [N,H,W,3] normalized. Returns (logits, aux).
+
+    logits: [N,2] for 'ed'/'vae'; [2N,2] for 'genconvit' (batch-axis concat,
+    ED rows first — exact reference semantics, model/genconvit.py:74).
+    aux carries recon/kl for training and observability.
+    """
+    if net not in VALID_NETS:
+        raise ValueError(f"net must be one of {VALID_NETS}, got {net!r}")
+    aux: Dict[str, Any] = {}
+    if net == "ed":
+        logits, recon = ed_apply(params["ed"], x)
+        aux["ed_recon"] = recon
+        return logits, aux
+    if net == "vae":
+        logits, recon, vaux = vae_apply(params["vae"], x, rng, sample=sample, train=train)
+        aux["vae_recon"] = recon
+        aux.update({f"vae_{k}": v for k, v in vaux.items()})
+        return logits, aux
+    ed_logits, ed_recon = ed_apply(params["ed"], x)
+    vae_logits, vae_recon, vaux = vae_apply(params["vae"], x, rng, sample=sample, train=train)
+    aux["ed_recon"] = ed_recon
+    aux["vae_recon"] = vae_recon
+    aux.update({f"vae_{k}": v for k, v in vaux.items()})
+    return jnp.concatenate([ed_logits, vae_logits], axis=0), aux

@@ -1,0 +1,146 @@
+"""GenConViT VAE branch (Network B): conv VAE + ConvNeXt on both the original
+and the reconstruction, concat features, 2-layer ReLU head.
+
+Spec source (behavior, not code): ref model/genconvit_vae.py —
+  Encoder :10-60  4x [Conv3x3 s2 p1 -> BN -> LeakyReLU], 3->16->32->64->128
+                  (224->14); flatten (torch CHW order); mu/var: Linear(25088->12544)
+  reparameterize :43-49  **quirk B4**: std = exp(0.5 * mu(x)); z = eps*std + mu(x)
+                  (the `var` head feeds only the KL term :56-58, kl_weight=0.5)
+  Decoder :62-88  unflatten z -> (256,7,7); 4x [ConvT2x2 s2 -> LeakyReLU] -> 3@112
+  GenConViTVAE :90-115  x1 = backbone(x), x2 = backbone(x_hat) (order is
+                  original-then-recon — opposite of ED), cat -> ReLU -> fc ->
+                  ReLU -> fc2; returns (logits, resize224(x_hat))
+Dead parameter groups carried for checkpoint round-trip (SURVEY.md §8 B9):
+encoder fc1/fc2, model-level fc3.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from genconvit_tpu.models.convnext import convnext_apply, init_convnext
+from genconvit_tpu.ops import (
+    batch_norm,
+    conv2d,
+    conv_transpose2d,
+    leaky_relu,
+    linear,
+    relu,
+    resize_bilinear_torch,
+)
+from genconvit_tpu.ops.init import (
+    batch_norm_init,
+    conv_init,
+    conv_transpose_init,
+    linear_init,
+)
+
+_ENC_CH = (3, 16, 32, 64, 128)
+_DEC_CH = (256, 64, 32, 16, 3)
+KL_WEIGHT = 0.5  # ref model/genconvit_vae.py:40
+
+
+def init_vae(key: jax.Array, backbone: str = "convnext_tiny", img_size: int = 224,
+             latent_dims: Optional[int] = None, num_classes: int = 2,
+             backbone_classes: int = 1000, carry_dead_params: bool = False,
+             embedder: str = "swin_tiny_patch4_window7_224") -> Dict:
+    feat_hw = img_size // 16          # 14 for 224
+    flat = 128 * feat_hw * feat_hw    # 25088 for 224
+    if latent_dims is None:
+        latent_dims = 256 * (img_size // 32) ** 2  # 12544 for 224
+    keys = jax.random.split(key, 20)
+    ki = iter(keys)
+    enc: Dict[str, Any] = {
+        "convs": [conv_init(next(ki), 3, 3, _ENC_CH[i], _ENC_CH[i + 1]) for i in range(4)],
+        "bns": [batch_norm_init(_ENC_CH[i + 1]) for i in range(4)],
+        "mu": linear_init(next(ki), flat, latent_dims),
+        "var": linear_init(next(ki), flat, latent_dims),
+    }
+    if carry_dead_params:
+        enc["fc1"] = linear_init(next(ki), flat, 256)  # dead (B9)
+        enc["fc2"] = linear_init(next(ki), 256, 128)   # dead (B9)
+    params: Dict[str, Any] = {
+        "encoder": enc,
+        "decoder": [
+            conv_transpose_init(next(ki), 2, 2, _DEC_CH[i], _DEC_CH[i + 1]) for i in range(4)
+        ],
+        "backbone": init_convnext(next(ki), backbone, backbone_classes),
+    }
+    num_feature = backbone_classes * 2
+    params["fc"] = linear_init(next(ki), num_feature, num_feature // 4)
+    params["fc2"] = linear_init(next(ki), num_feature // 4, num_classes)
+    if carry_dead_params:
+        params["fc3"] = linear_init(next(ki), num_feature // 2, num_feature // 4)  # dead (B9)
+        from genconvit_tpu.models.swin import init_swin
+        params["embedder"] = init_swin(next(ki), embedder, backbone_classes)
+        params["hybrid_proj"] = conv_init(next(ki), 1, 1, backbone_classes, 768)
+    return params
+
+
+def vae_encode(
+    params: Dict, x: jax.Array, rng: Optional[jax.Array], *,
+    sample: bool = True, train: bool = False,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Returns (z, aux) with aux = {'kl', 'mu', 'logvar', 'bn_stats'(train)}."""
+    enc = params["encoder"]
+    new_bn = []
+    for conv, bn in zip(enc["convs"], enc["bns"]):
+        x = conv2d(x, conv["kernel"], conv["bias"], stride=2, padding=1)
+        x, stats = batch_norm(x, bn, train=train)
+        new_bn.append(stats)
+        x = leaky_relu(x)
+    # torch flattens CHW-order: NHWC -> NCHW -> [N, C*H*W] (conversion-critical)
+    n = x.shape[0]
+    flat = x.transpose(0, 3, 1, 2).reshape(n, -1)
+    mu = linear(flat, enc["mu"]["kernel"], enc["mu"]["bias"])
+    logvar = linear(flat, enc["var"]["kernel"], enc["var"]["bias"])
+    # Quirk B4 (reproduced exactly): std derives from the *mu* head, and
+    # sampling happens in eval too unless sample=False (our deterministic mode).
+    if sample:
+        if rng is None:
+            raise ValueError("vae_encode(sample=True) needs an rng key")
+        std = jnp.exp(0.5 * mu)
+        eps = jax.random.normal(rng, std.shape, dtype=std.dtype)
+        z = eps * std + mu
+    else:
+        z = mu
+    kl = KL_WEIGHT * jnp.mean(
+        -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=1)
+    )
+    return z, {"kl": kl, "mu": mu, "logvar": logvar, "bn_stats": new_bn if train else None}
+
+
+def vae_decode(params: Dict, z: jax.Array) -> jax.Array:
+    """z: [N, latent] -> [N, s*16, s*16, 3] where s = sqrt(latent/256).
+    The unflatten matches torch's (256, s, s) channel-major view."""
+    n, latent = z.shape
+    s = int(round((latent / 256) ** 0.5))
+    x = z.reshape(n, 256, s, s).transpose(0, 2, 3, 1)  # NCHW view -> NHWC
+    for layer in params["decoder"]:
+        x = conv_transpose2d(x, layer["kernel"], layer["bias"], stride=2)
+        x = leaky_relu(x)
+    return x
+
+
+def vae_apply(
+    params: Dict, x: jax.Array, rng: Optional[jax.Array] = None, *,
+    sample: bool = True, train: bool = False,
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """x: [N,H,W,3] normalized. Returns (logits [N,2], recon_resized [N,H,W,3], aux).
+
+    recon is resized to the input size with the torchvision-bilinear-antialias
+    equivalent (ref model/genconvit_vae.py:105,115)."""
+    z, aux = vae_encode(params, x, rng, sample=sample, train=train)
+    x_hat = vae_decode(params, z)
+    x1 = convnext_apply(params["backbone"], x)
+    x2 = convnext_apply(params["backbone"], x_hat)
+    h = jnp.concatenate([x1, x2], axis=1)
+    h = relu(h)
+    h = linear(h, params["fc"]["kernel"], params["fc"]["bias"])
+    h = relu(h)
+    logits = linear(h, params["fc2"]["kernel"], params["fc2"]["bias"])
+    recon = resize_bilinear_torch(x_hat, (x.shape[1], x.shape[2]))
+    return logits, recon, aux
