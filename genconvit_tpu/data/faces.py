@@ -1,0 +1,180 @@
+"""Face-detection backends.
+
+The reference uses dlib HOG (CPU) / CNN (CUDA) via face_recognition
+(ref: model/pred_func.py:67-92) with two load-bearing quirks we preserve in
+the interface: boxes are (top, right, bottom, left); detection runs on the
+BGR-converted frame (quirk B6); every face in every frame counts toward the
+frame budget (quirk B7).
+
+No dlib model files exist in this environment, so exact-parity detection is a
+*recorded-boxes* mode (evaluation against the reference records boxes once on
+the PyTorch side); the other backends are self-contained:
+
+  fullframe  whole frame as the "face" box (deterministic; default fallback)
+  center     centered square crop
+  skin       classical skin-segmentation heuristic (YCrCb threshold +
+             connected components + geometry filters) — reasonable on
+             talking-head benchmark footage, zero trained weights
+  haar       OpenCV Haar cascade, gated on a user-supplied XML path
+             (cv2 ships no cascade files in this image)
+  recorded   boxes from a JSON sidecar {video_basename: [[t,r,b,l], ...] per frame}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Box = Tuple[int, int, int, int]  # (top, right, bottom, left) — dlib order
+
+
+class FaceDetector:
+    """Base: detect(frames RGB uint8 [F,H,W,3]) -> per-frame list of boxes."""
+
+    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        raise NotImplementedError
+
+
+class FullFrameDetector(FaceDetector):
+    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        h, w = frames.shape[1:3]
+        return [[(0, w, h, 0)] for _ in range(len(frames))]
+
+
+class CenterDetector(FaceDetector):
+    """Centered square covering `frac` of the short side."""
+
+    def __init__(self, frac: float = 0.85):
+        self.frac = frac
+
+    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        h, w = frames.shape[1:3]
+        s = int(min(h, w) * self.frac)
+        top, left = (h - s) // 2, (w - s) // 2
+        return [[(top, left + s, top + s, left)] for _ in range(len(frames))]
+
+
+class SkinDetector(FaceDetector):
+    """Classical heuristic: skin mask in YCrCb, largest blob, squared box
+    with headroom. Deterministic, no learned weights."""
+
+    def __init__(self, min_area_frac: float = 0.01, expand: float = 1.25):
+        self.min_area_frac = min_area_frac
+        self.expand = expand
+
+    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        import cv2
+
+        out: List[List[Box]] = []
+        for frame in frames:
+            h, w = frame.shape[:2]
+            ycrcb = cv2.cvtColor(frame, cv2.COLOR_RGB2YCrCb)
+            mask = cv2.inRange(ycrcb, (0, 133, 77), (255, 180, 127))
+            mask = cv2.morphologyEx(mask, cv2.MORPH_OPEN, np.ones((5, 5), np.uint8))
+            mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, np.ones((9, 9), np.uint8))
+            n, labels, stats, _ = cv2.connectedComponentsWithStats(mask)
+            boxes: List[Box] = []
+            if n > 1:
+                areas = stats[1:, cv2.CC_STAT_AREA]
+                best = int(np.argmax(areas)) + 1
+                if stats[best, cv2.CC_STAT_AREA] >= self.min_area_frac * h * w:
+                    x, y = stats[best, cv2.CC_STAT_LEFT], stats[best, cv2.CC_STAT_TOP]
+                    bw, bh = stats[best, cv2.CC_STAT_WIDTH], stats[best, cv2.CC_STAT_HEIGHT]
+                    cx, cy = x + bw / 2, y + bh / 2
+                    s = int(max(bw, bh) * self.expand)
+                    top = max(0, int(cy - s / 2))
+                    left = max(0, int(cx - s / 2))
+                    bottom = min(h, top + s)
+                    right = min(w, left + s)
+                    if bottom > top and right > left:
+                        boxes.append((top, right, bottom, left))
+            out.append(boxes)
+        return out
+
+
+class HaarDetector(FaceDetector):
+    """OpenCV Haar cascade; requires a cascade XML (not bundled in this image)."""
+
+    def __init__(self, cascade_path: str):
+        import cv2
+
+        if not os.path.isfile(cascade_path):
+            raise FileNotFoundError(f"Haar cascade not found: {cascade_path}")
+        self._clf = cv2.CascadeClassifier(cascade_path)
+        self._cv2 = cv2
+
+    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        cv2 = self._cv2
+        out: List[List[Box]] = []
+        for frame in frames:
+            gray = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
+            rects = self._clf.detectMultiScale(gray, 1.1, 5)
+            out.append([(int(y), int(x + w), int(y + h), int(x)) for x, y, w, h in rects])
+        return out
+
+
+class RecordedDetector(FaceDetector):
+    """Exact-parity mode: boxes recorded from the reference's dlib-HOG run.
+    Sidecar schema: {"<video basename>": [[ [t,r,b,l], ...] per sampled frame]}"""
+
+    def __init__(self, sidecar_path: str, video_name: Optional[str] = None):
+        with open(sidecar_path) as f:
+            self._all = json.load(f)
+        self._name = video_name
+
+    def for_video(self, video_name: str) -> "RecordedDetector":
+        d = RecordedDetector.__new__(RecordedDetector)
+        d._all = self._all
+        d._name = video_name
+        return d
+
+    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        per_frame = self._all.get(self._name or "", [])
+        out: List[List[Box]] = []
+        for i in range(len(frames)):
+            boxes = per_frame[i] if i < len(per_frame) else []
+            out.append([tuple(int(v) for v in b) for b in boxes])
+        return out
+
+
+def make_detector(backend: str, **kwargs) -> FaceDetector:
+    if backend in ("fullframe", "none"):
+        return FullFrameDetector()
+    if backend == "center":
+        return CenterDetector(**kwargs)
+    if backend == "skin":
+        return SkinDetector(**kwargs)
+    if backend == "haar":
+        return HaarDetector(kwargs.get("cascade_path", os.environ.get(
+            "GENCONVIT_HAAR_CASCADE", "haarcascade_frontalface_default.xml")))
+    if backend == "recorded":
+        return RecordedDetector(kwargs["sidecar_path"])
+    raise ValueError(f"unknown face backend: {backend}")
+
+
+def crop_faces(frames: np.ndarray, boxes_per_frame: List[List[Box]],
+               budget: int, img_size: int = 224) -> np.ndarray:
+    """Crop + INTER_AREA resize, filling a uint8 [<=budget, S, S, 3] batch.
+
+    Reproduces the reference's budget semantics (quirk B7): every detected
+    face in every frame consumes a slot until `budget` faces are collected
+    (ref: model/pred_func.py:78-90).
+    """
+    import cv2
+
+    out = np.zeros((budget, img_size, img_size, 3), dtype=np.uint8)
+    count = 0
+    for frame, boxes in zip(frames, boxes_per_frame):
+        for (top, right, bottom, left) in boxes:
+            if count >= budget:
+                break
+            face = frame[top:bottom, left:right]
+            if face.size == 0:
+                continue
+            out[count] = cv2.resize(face, (img_size, img_size),
+                                    interpolation=cv2.INTER_AREA)
+            count += 1
+    return out[:count]

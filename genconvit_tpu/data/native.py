@@ -1,0 +1,94 @@
+"""ctypes bindings for the native C++ FFmpeg decoder (native/gcv_decode.cc).
+
+Replaces the reference's decord dependency (ref model/pred_func.py:13) with a
+first-party batched decoder: frames land in a caller-owned contiguous uint8
+buffer shaped for a single host->HBM transfer. Falls back cleanly (see
+data/video.py) when the shared library has not been built
+(`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libgcvdecode.so"),
+    os.environ.get("GENCONVIT_NATIVE_LIB", ""),
+)
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    for p in _LIB_PATHS:
+        if p and os.path.isfile(p):
+            try:
+                lib = ctypes.CDLL(os.path.abspath(p))
+            except OSError:
+                continue
+            lib.gcv_open.restype = ctypes.c_void_p
+            lib.gcv_open.argtypes = [ctypes.c_char_p]
+            lib.gcv_num_frames.restype = ctypes.c_longlong
+            lib.gcv_num_frames.argtypes = [ctypes.c_void_p]
+            lib.gcv_frame_size.restype = ctypes.c_int
+            lib.gcv_frame_size.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                                           ctypes.POINTER(ctypes.c_int)]
+            lib.gcv_read_frames.restype = ctypes.c_int
+            lib.gcv_read_frames.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte)]
+            lib.gcv_close.argtypes = [ctypes.c_void_p]
+            _lib = lib
+            return _lib
+    _load_failed = True
+    return None
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativeVideoReader:
+    """Same interface as CV2VideoReader, backed by libgcvdecode."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native decoder not built")
+        self._lib = lib
+        self._h = lib.gcv_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open video: {path}")
+        self.path = path
+        self.num_frames = int(lib.gcv_num_frames(self._h))
+        w, h = ctypes.c_int(), ctypes.c_int()
+        lib.gcv_frame_size(self._h, ctypes.byref(w), ctypes.byref(h))
+        self.width, self.height = w.value, h.value
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def read_frames(self, indices: Sequence[int]) -> np.ndarray:
+        n = len(indices)
+        if n == 0:
+            return np.zeros((0, 0, 0, 3), dtype=np.uint8)
+        out = np.empty((n, self.height, self.width, 3), dtype=np.uint8)
+        idx = (ctypes.c_longlong * n)(*[int(i) for i in indices])
+        got = self._lib.gcv_read_frames(
+            self._h, idx, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        if got < 0:
+            raise IOError(f"decode failed: {self.path}")
+        return out[:got]
+
+    def close(self):
+        if self._h:
+            self._lib.gcv_close(self._h)
+            self._h = None

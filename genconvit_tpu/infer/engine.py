@@ -1,0 +1,206 @@
+"""Jitted prediction engine.
+
+Replaces the reference's serial predict path (ref prediction.py:231-266,
+model/pred_func.py:18-64,111-131) with a TPU-first design:
+
+  * fixed-shape [F,224,224,3] uint8 face batches + validity mask -> one
+    compile per (num_frames, net), no recompiles across videos;
+  * normalization fused into the jitted forward (single H2D of uint8);
+  * a batched multi-video path ([V,F,...]) so the MXU sees large convs;
+  * host decode/detect overlapped with device compute via a thread pool;
+  * per-video fault tolerance with the reference's (0, 0.5) default verdict.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import logging
+import os
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genconvit_tpu.config import Config
+from genconvit_tpu.core.checkpoint import load_params, resolve_weight
+from genconvit_tpu.core.pytree import live_params
+from genconvit_tpu.data.faces import FaceDetector, RecordedDetector, crop_faces, make_detector
+from genconvit_tpu.data.preprocess import normalize_batch, pad_faces
+from genconvit_tpu.data.video import extract_frames
+from genconvit_tpu.infer.aggregate import DEFAULT_VERDICT, aggregate_logits
+from genconvit_tpu.models.genconvit import genconvit_apply, init_genconvit
+
+log = logging.getLogger("genconvit_tpu")
+
+
+def default_compute_dtype() -> Any:
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+class Predictor:
+    def __init__(
+        self,
+        config: Optional[Config] = None,
+        *,
+        net: str = "genconvit",
+        ed_weight: Optional[str] = None,
+        vae_weight: Optional[str] = None,
+        params: Optional[Dict[str, Any]] = None,
+        dtype: Any = None,
+        fp16: bool = False,
+        face_backend: Optional[str] = None,
+        deterministic_vae: bool = False,
+        prefer_native_decode: bool = True,
+        seed: int = 0,
+    ):
+        self.config = config or Config()
+        self.net = net
+        # --fp16 maps to bf16 on TPU (and actually works, unlike the
+        # reference's broken half path — SURVEY.md §8 B1)
+        self.dtype = dtype or (jnp.bfloat16 if fp16 else
+                               jnp.dtype(self.config.compute_dtype)
+                               if self.config.compute_dtype != "float32"
+                               else default_compute_dtype())
+        self.deterministic_vae = deterministic_vae
+        self.prefer_native_decode = prefer_native_decode
+        self._rng = jax.random.PRNGKey(seed)
+        self._video_counter = 0
+        self._jit_cache: Dict[Tuple[int, bool], Any] = {}
+
+        backend = face_backend or self.config.face_backend
+        try:
+            self.detector: FaceDetector = make_detector(backend)
+        except (FileNotFoundError, KeyError, ValueError) as e:
+            log.warning("face backend %r unavailable (%s); falling back to "
+                        "'fullframe'", backend, e)
+            self.detector = make_detector("fullframe")
+
+        if params is None:
+            params = self._load_or_init(ed_weight, vae_weight)
+        self.params = jax.device_put(live_params(params))
+
+    # ------------------------------------------------------------- weights
+
+    def _load_or_init(self, ed_weight: Optional[str],
+                      vae_weight: Optional[str]) -> Dict[str, Any]:
+        wd = self.config.weight_dir
+        params: Dict[str, Any] = {}
+        need = {"ed": ed_weight, "vae": vae_weight}
+        for branch in ("ed", "vae"):
+            if self.net not in (branch, "genconvit"):
+                continue
+            spec = need[branch]
+            path = spec if spec and os.path.isfile(spec) else (
+                resolve_weight(wd, spec) if spec else
+                resolve_weight(wd, f"genconvit_{branch}_inference"))
+            if path:
+                p, meta = load_params(path, which=branch)
+                log.info("loaded %s weights from %s (%s)", branch, path,
+                         meta["source"])
+                params[branch] = p
+            else:
+                log.warning(
+                    "no %s weights found (looked for %r in %r) — using RANDOM "
+                    "init; predictions will be meaningless", branch, spec, wd)
+                sub = init_genconvit(jax.random.PRNGKey(0), self.config, branch)
+                params[branch] = sub[branch]
+        return params
+
+    # ------------------------------------------------------------- forward
+
+    def _forward_fn(self, num_frames: int, batched: bool):
+        key = (num_frames, batched)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        net = self.net
+        dtype = self.dtype
+        sample = not self.deterministic_vae
+
+        def single(params, frames_u8, mask, rng):
+            x = normalize_batch(frames_u8, dtype)
+            logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
+            full_mask = jnp.concatenate([mask, mask]) if net == "genconvit" else mask
+            return aggregate_logits(logits, full_mask)
+
+        def batched_fn(params, frames_u8, mask, rng):
+            # frames_u8: [V,F,S,S,3]; mask: [V,F] — flatten videos into one
+            # device batch so the MXU sees V*F-sized convolutions.
+            v, f = frames_u8.shape[:2]
+            x = normalize_batch(frames_u8.reshape((v * f,) + frames_u8.shape[2:]), dtype)
+            logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
+            if net == "genconvit":
+                ed, vae = logits[: v * f], logits[v * f:]
+                per_video = jnp.concatenate(
+                    [ed.reshape(v, f, 2), vae.reshape(v, f, 2)], axis=1)
+                full_mask = jnp.concatenate([mask, mask], axis=1)
+            else:
+                per_video = logits.reshape(v, f, 2)
+                full_mask = mask
+            return jax.vmap(aggregate_logits)(per_video, full_mask)
+
+        fn = jax.jit(batched_fn if batched else single)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _next_rng(self) -> jax.Array:
+        self._video_counter += 1
+        return jax.random.fold_in(self._rng, self._video_counter)
+
+    # ------------------------------------------------------------- API
+
+    def predict_faces(self, faces_u8: np.ndarray, num_frames: int) -> Tuple[int, float]:
+        """faces_u8: [k,S,S,3] uint8, k in [0, num_frames]."""
+        if len(faces_u8) == 0:
+            return DEFAULT_VERDICT
+        batch, mask = pad_faces(faces_u8, num_frames, self.config.img_size)
+        fn = self._forward_fn(num_frames, batched=False)
+        y, y_val = fn(self.params, jnp.asarray(batch), jnp.asarray(mask),
+                      self._next_rng())
+        return int(y), float(y_val)
+
+    def extract_faces(self, video_path: str, num_frames: int) -> np.ndarray:
+        """Decode + detect + crop for one video — the host-side stage."""
+        frames = extract_frames(video_path, num_frames, self.prefer_native_decode)
+        if frames.size == 0:
+            return np.zeros((0, self.config.img_size, self.config.img_size, 3),
+                            dtype=np.uint8)
+        det = self.detector
+        if isinstance(det, RecordedDetector):
+            det = det.for_video(os.path.basename(video_path))
+        boxes = det.detect(frames)
+        return crop_faces(frames, boxes, num_frames, self.config.img_size)
+
+    def predict_video(self, video_path: str, num_frames: int = 15) -> Tuple[int, float]:
+        faces = self.extract_faces(video_path, num_frames)
+        return self.predict_faces(faces, num_frames)
+
+    def predict_files(self, paths: Sequence[str], num_frames: int = 15,
+                      workers: int = 8) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
+        """Batch driver: host preprocessing in a thread pool (cv2/FFmpeg
+        release the GIL), device forward overlapped on the main thread.
+        Failures yield None (per-video fault tolerance, ref prediction.py:25-45)."""
+        results: List[Tuple[str, Optional[Tuple[int, float]]]] = []
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            futures = {ex.submit(self.extract_faces, p, num_frames): p for p in paths}
+            ordered = {p: None for p in paths}
+            for fut in cf.as_completed(futures):
+                p = futures[fut]
+                try:
+                    faces = fut.result()
+                    ordered[p] = self.predict_faces(faces, num_frames)
+                except Exception as e:  # per-video tolerance
+                    log.error("error on %s: %s", p, e)
+                    ordered[p] = None
+        for p in paths:
+            results.append((p, ordered[p]))
+        return results
+
+    def predict_videos_batched(self, faces_batch: np.ndarray, masks: np.ndarray,
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pre-extracted [V,F,S,S,3] + [V,F] -> (y [V], y_val [V]). The
+        throughput path used by the benchmark and sharded evaluation."""
+        fn = self._forward_fn(faces_batch.shape[1], batched=True)
+        y, y_val = fn(self.params, jnp.asarray(faces_batch), jnp.asarray(masks),
+                      self._next_rng())
+        return np.asarray(y), np.asarray(y_val)

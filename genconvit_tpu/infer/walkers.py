@@ -1,0 +1,173 @@
+"""Dataset walkers — directory traversal + ground-truth wiring for
+sample dirs, DFDC, FaceForensics++, DeepfakeTIMIT and Celeb-DF, with the
+reference's exact label rules (ref prediction.py:12-228).
+
+Quirk B8 preserved: the timit walker labels everything FAKE (it only walks the
+higher_quality/lower_quality manipulated dirs). Per-video failures are
+tolerated and logged, matching the reference's try/except-and-continue.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+from genconvit_tpu.data.video import is_video
+from genconvit_tpu.infer.aggregate import DEFAULT_VERDICT, real_or_fake
+from genconvit_tpu.infer.engine import Predictor
+from genconvit_tpu.infer.result import set_result, store_result
+
+log = logging.getLogger("genconvit_tpu")
+
+
+class WalkState:
+    """Accumulates results + running accuracy + v2 metric vectors."""
+
+    def __init__(self):
+        self.result = set_result()
+        self.count = 0
+        self.correct = 0
+        self.has_labels = False
+        self.y_true: List[int] = []
+        self.y_pred: List[int] = []
+
+    def record(self, path: str, verdict: Optional[Tuple[int, float]], klass: str,
+               correct_label: str = "unknown", compression: Optional[str] = None):
+        if verdict is None:
+            verdict = DEFAULT_VERDICT
+        y, y_val = verdict
+        self.count += 1
+        store_result(self.result, os.path.basename(path), y, y_val, klass,
+                     correct_label, compression)
+        pred_label = real_or_fake(y)
+        if correct_label in ("REAL", "FAKE"):
+            self.has_labels = True
+            self.y_true.append(1 if correct_label == "FAKE" else 0)
+            self.y_pred.append(1 if pred_label == "FAKE" else 0)
+            if correct_label == pred_label:
+                self.correct += 1
+            log.info("%d %s: %s %.4f  [%s]  %d/%d", self.count, os.path.basename(path),
+                     pred_label, y_val, correct_label, self.correct, self.count)
+        else:
+            log.info("%d %s: %s %.4f", self.count, os.path.basename(path),
+                     pred_label, y_val)
+
+
+def _predict_all(predictor: Predictor, items: List[Tuple[str, str, str, Optional[str]]],
+                 num_frames: int, state: WalkState, workers: int = 8) -> WalkState:
+    """items: (path, klass, correct_label, compression)."""
+    paths = [it[0] for it in items]
+    outcomes = dict(predictor.predict_files(paths, num_frames, workers=workers))
+    for path, klass, correct_label, compression in items:
+        state.record(path, outcomes.get(path), klass, correct_label, compression)
+    return state
+
+
+def vids(predictor: Predictor, root_dir: str, num_frames: int = 15,
+         workers: int = 8) -> WalkState:
+    """Flat directory of videos (ref prediction.py:12-47)."""
+    state = WalkState()
+    items = []
+    for filename in sorted(os.listdir(root_dir)):
+        p = os.path.join(root_dir, filename)
+        if is_video(p):
+            items.append((p, "uncategorized", "unknown", None))
+        else:
+            log.warning("invalid video file: %s", p)
+    return _predict_all(predictor, items, num_frames, state, workers)
+
+
+def faceforensics(predictor: Predictor, root_dir: str, num_frames: int = 15,
+                  json_dir: str = "json_file", workers: int = 8) -> WalkState:
+    """FF++ (ref prediction.py:50-104): only files listed in
+    ff_file_list.json; klass from the manipulation dir; c23/c40 from path."""
+    ffdirs = ["DeepFakeDetection", "Deepfakes", "Face2Face", "FaceSwap",
+              "NeuralTextures"]
+    with open(os.path.join(json_dir, "ff_file_list.json")) as f:
+        ff_file = set(json.load(f))
+    state = WalkState()
+    state.result["video"]["compression"] = []
+    items = []
+    for v_t in ["original_sequences", "manipulated_sequences"]:
+        for dirpath, _, filenames in os.walk(os.path.join(root_dir, v_t)):
+            parts = dirpath.split(os.path.sep)
+            klass = next((d for d in ffdirs if d in parts), "original")
+            label = "REAL" if klass == "original" else "FAKE"
+            for filename in sorted(filenames):
+                if filename not in ff_file:
+                    continue
+                p = os.path.join(dirpath, filename)
+                if is_video(p):
+                    compression = "c23" if "c23" in p else "c40"
+                    items.append((p, klass, label, compression))
+    return _predict_all(predictor, items, num_frames, state, workers)
+
+
+def timit(predictor: Predictor, root_dir: str, num_frames: int = 15,
+          workers: int = 8) -> WalkState:
+    """DeepfakeTIMIT (ref prediction.py:107-143). Labels everything FAKE (B8)."""
+    state = WalkState()
+    items = []
+    for keyword in ["higher_quality", "lower_quality"]:
+        kdir = os.path.join(root_dir, keyword)
+        if not os.path.isdir(kdir):
+            continue
+        for sub in sorted(os.listdir(kdir)):
+            subdir = os.path.join(kdir, sub)
+            if not os.path.isdir(subdir):
+                continue
+            for filename in sorted(os.listdir(subdir)):
+                if filename.endswith(".avi"):
+                    p = os.path.join(subdir, filename)
+                    if is_video(p):
+                        items.append((p, "DeepfakeTIMIT", "FAKE", None))
+    return _predict_all(predictor, items, num_frames, state, workers)
+
+
+def dfdc(predictor: Predictor, root_dir: str, num_frames: int = 15,
+         json_dir: str = "json_file", workers: int = 8) -> WalkState:
+    """DFDC (ref prediction.py:146-189): file list from dfdc_files.json,
+    labels from the dataset's metadata.json."""
+    with open(os.path.join(json_dir, "dfdc_files.json")) as f:
+        dfdc_data = json.load(f)
+    meta_path = os.path.join(root_dir, "metadata.json")
+    dfdc_meta: Dict[str, Any] = {}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            dfdc_meta = json.load(f)
+    state = WalkState()
+    items = []
+    for name in dfdc_data:
+        p = os.path.join(root_dir, name)
+        if is_video(p):
+            label = dfdc_meta.get(name, {}).get("label", "unknown")
+            items.append((p, "dfdc", label, None))
+    return _predict_all(predictor, items, num_frames, state, workers)
+
+
+def celeb(predictor: Predictor, root_dir: str, num_frames: int = 15,
+          json_dir: str = "json_file", workers: int = 8) -> WalkState:
+    """Celeb-DF v2 (ref prediction.py:192-228): list from celeb_test.json,
+    class from the path prefix (Celeb-synthesis => FAKE)."""
+    with open(os.path.join(json_dir, "celeb_test.json")) as f:
+        cfl = json.load(f)
+    state = WalkState()
+    items = []
+    for ck in cfl:
+        klass = ck.split("/")[0]
+        correct_label = "FAKE" if klass == "Celeb-synthesis" else "REAL"
+        p = os.path.join(root_dir, ck)
+        if is_video(p):
+            items.append((p, klass, correct_label, None))
+    return _predict_all(predictor, items, num_frames, state, workers)
+
+
+WALKERS = {
+    "vids": vids,
+    "faceforensics": faceforensics,
+    "timit": timit,
+    "dfdc": dfdc,
+    "celeb": celeb,
+}

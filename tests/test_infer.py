@@ -1,0 +1,164 @@
+"""Inference pipeline tests: frame sampling bit-match, aggregation semantics
+vs the reference formulas (recomputed in torch), face-budget quirk, engine
+end-to-end on synthetic videos, result schema."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from genconvit_tpu.config import Config
+from genconvit_tpu.data.faces import crop_faces, make_detector
+from genconvit_tpu.data.frames import sample_frame_indices
+from genconvit_tpu.infer.aggregate import aggregate_logits, real_or_fake
+from genconvit_tpu.infer.engine import Predictor
+from genconvit_tpu.infer.result import set_result, store_result
+
+
+def _reference_max_prediction_value(y_pred: torch.Tensor):
+    """Recomputed reference semantics (ref model/pred_func.py:111-131):
+    sigmoid -> mean over frames -> (argmax, pseudo-P(fake))."""
+    mean_val = torch.mean(torch.sigmoid(y_pred), dim=0)
+    return (
+        int(torch.argmax(mean_val)),
+        float(mean_val[0]) if mean_val[0] > mean_val[1] else abs(1 - float(mean_val[1])),
+    )
+
+
+class TestFrameSampling:
+    @pytest.mark.parametrize("n,f", [(300, 15), (10, 15), (1, 15), (44, 10),
+                                     (15, 15), (16, 15), (450, 15), (0, 15)])
+    def test_bit_match(self, n, f):
+        # oracle: step = max(1, n // f); list(range(0, n, step))[:f]
+        if n <= 0:
+            assert sample_frame_indices(n, f) == []
+            return
+        step = max(1, n // f)
+        assert sample_frame_indices(n, f) == list(range(0, n, step))[:f]
+
+
+class TestAggregation:
+    @pytest.mark.parametrize("k", [1, 3, 15])
+    def test_matches_reference_formula(self, rng, k):
+        logits = rng.standard_normal((k, 2)).astype(np.float32)
+        y_ref, val_ref = _reference_max_prediction_value(torch.from_numpy(logits))
+        y, val = aggregate_logits(jnp.asarray(logits), jnp.ones((k,)))
+        assert int(y) == y_ref
+        np.testing.assert_allclose(float(val), val_ref, rtol=1e-5, atol=1e-6)
+
+    def test_masked_rows_are_ignored(self, rng):
+        logits = rng.standard_normal((4, 2)).astype(np.float32)
+        padded = np.concatenate([logits, 100 * np.ones((3, 2), np.float32)])
+        mask = np.array([1, 1, 1, 1, 0, 0, 0], np.float32)
+        y_a, v_a = aggregate_logits(jnp.asarray(logits), jnp.ones((4,)))
+        y_b, v_b = aggregate_logits(jnp.asarray(padded), jnp.asarray(mask))
+        assert int(y_a) == int(y_b)
+        np.testing.assert_allclose(float(v_a), float(v_b), rtol=1e-5)
+
+    def test_label_mapping_quirk_b2(self):
+        # class index 0 = FAKE at the model output (SURVEY.md §8 B2):
+        # {0:'REAL',1:'FAKE'}[y ^ 1]
+        assert real_or_fake(0) == "FAKE"
+        assert real_or_fake(1) == "REAL"
+
+
+class TestFaceBudget:
+    def test_multi_face_frames_consume_slots(self):
+        frames = np.full((3, 64, 64, 3), 128, np.uint8)
+        boxes = [[(0, 32, 32, 0), (32, 64, 64, 32)],  # 2 faces in frame 0
+                 [(0, 64, 64, 0)],
+                 [(0, 64, 64, 0)]]
+        faces = crop_faces(frames, boxes, budget=3, img_size=32)
+        assert faces.shape == (3, 32, 32, 3)  # frame 2's face lost to budget? no:
+        # budget 3: f0 gives 2, f1 gives 1 -> budget full, f2 dropped (quirk B7)
+
+    def test_zero_faces(self):
+        frames = np.zeros((2, 32, 32, 3), np.uint8)
+        faces = crop_faces(frames, [[], []], budget=5, img_size=32)
+        assert faces.shape[0] == 0
+
+
+def _write_synth_video(path, n_frames=24, size=64):
+    import cv2
+
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12, (size, size))
+    rng = np.random.default_rng(0)
+    for i in range(n_frames):
+        frame = np.full((size, size, 3), (i * 9) % 255, np.uint8)
+        frame[16:48, 16:48] = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        vw.write(frame)
+    vw.release()
+
+
+@pytest.fixture(scope="module")
+def synth_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vids") / "synth.mp4")
+    _write_synth_video(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def small_predictor():
+    cfg = Config()
+    cfg.img_size = 64
+    cfg.model.latent_dims = cfg.derived_latent_dims()
+    cfg.weight_dir = "/nonexistent"  # forces random init
+    return Predictor(cfg, net="genconvit", face_backend="fullframe", seed=0)
+
+
+class TestEngine:
+    def test_video_decode(self, synth_video):
+        from genconvit_tpu.data.video import extract_frames
+
+        frames = extract_frames(synth_video, 10, prefer_native=False)
+        assert frames.shape == (10, 64, 64, 3)
+        assert frames.dtype == np.uint8
+
+    def test_predict_video_end_to_end(self, small_predictor, synth_video):
+        y, y_val = small_predictor.predict_video(synth_video, num_frames=5)
+        assert y in (0, 1)
+        assert 0.0 <= y_val <= 1.0
+
+    def test_mask_invariance_across_face_counts(self, small_predictor, rng):
+        """3 real faces padded to 5 must equal the same 3 faces padded to 5
+        with different garbage in the pad slots."""
+        faces = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+        pred_a = small_predictor.predict_faces(faces, num_frames=5)
+        pred_b = small_predictor.predict_faces(faces, num_frames=5)
+        # stochastic VAE: reseed so rngs differ; compare y only
+        assert pred_a[0] == pred_b[0]
+
+    def test_zero_faces_default_verdict(self, small_predictor):
+        y, y_val = small_predictor.predict_faces(
+            np.zeros((0, 64, 64, 3), np.uint8), 5)
+        assert (y, y_val) == (0, 0.5)  # ref prediction.py:250-253
+
+    def test_batched_matches_single(self, rng):
+        cfg = Config()
+        cfg.img_size = 64
+        cfg.model.latent_dims = cfg.derived_latent_dims()
+        cfg.weight_dir = "/nonexistent"
+        p = Predictor(cfg, net="ed", face_backend="fullframe")  # ed: deterministic
+        faces = (rng.random((2, 4, 64, 64, 3)) * 255).astype(np.uint8)
+        masks = np.ones((2, 4), np.float32)
+        ys, vals = p.predict_videos_batched(faces, masks)
+        for v in range(2):
+            y1, val1 = p.predict_faces(faces[v], 4)
+            assert int(ys[v]) == y1
+            np.testing.assert_allclose(vals[v], val1, rtol=1e-4, atol=1e-5)
+
+
+class TestResultSchema:
+    def test_v1_schema_matches_reference(self):
+        r = set_result()
+        store_result(r, "a.mp4", 1, 0.91, "dfdc", "FAKE")
+        store_result(r, "b.mp4", 0, 0.12, "dfdc", "REAL")
+        assert set(r["video"].keys()) == {
+            "name", "pred", "klass", "pred_label", "correct_label"}
+        # y=1 -> REAL, y=0 -> FAKE (quirk B2 mapping)
+        assert r["video"]["pred_label"] == ["REAL", "FAKE"]
+        assert json.dumps(r)  # JSON-serializable
