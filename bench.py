@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Throughput benchmark — DFDC-style 15-frame ensemble video prediction.
+
+Measures videos/sec/chip through the jitted compute path (on-device uint8
+normalize -> full genconvit ensemble (ED+VAE) -> sigmoid-mean aggregation) on
+batched [V,15,224,224,3] inputs, the shape the engine feeds the MXU in
+production. Host decode/detect runs in parallel threads in the real pipeline
+and is benchmarked separately to stderr when sample videos are available.
+
+Baseline (vs_baseline denominator): the reference PyTorch pipeline on
+A100-fp16. The reference repo publishes no throughput numbers
+(SURVEY.md §6); we use an analytic estimate of its *model-forward-only*
+throughput — ~270 GFLOP/video (4 ConvNeXt-Tiny passes + branches per frame,
+15 frames) at ~50% A100-fp16 conv utilization, serial per-video batching —
+of ~55 videos/s. The reference's real end-to-end rate is far lower (serial
+CPU dlib face detection dominates), so this is a conservative denominator.
+The north-star target is vs_baseline >= 5.
+
+Prints ONE JSON line to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_FP16_BASELINE_VIDEOS_PER_SEC = 55.0
+FRAMES = 15
+IMG = 224
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from genconvit_tpu.config import Config
+    from genconvit_tpu.infer.engine import Predictor
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    config = Config()
+    config.weight_dir = os.environ.get("GENCONVIT_WEIGHT_DIR", "weight")
+    predictor = Predictor(config, net="genconvit", face_backend="fullframe",
+                          dtype=jnp.bfloat16 if backend == "tpu" else jnp.float32)
+
+    rng = np.random.default_rng(0)
+    best = 0.0
+    batch_sizes = [int(v) for v in os.environ.get(
+        "GENCONVIT_BENCH_BATCHES", "8,16,32").split(",")]
+    trials = int(os.environ.get("GENCONVIT_BENCH_TRIALS", "3"))
+    for v_batch in batch_sizes:
+        # distinct batches per iteration (the execution path may cache
+        # identical requests) and sync fetch per call (honest round trip)
+        faces_list = [rng.integers(0, 255, (v_batch, FRAMES, IMG, IMG, 3), np.uint8)
+                      for _ in range(2)]
+        masks = np.ones((v_batch, FRAMES), np.float32)
+        t0 = time.perf_counter()
+        predictor.predict_videos_batched(faces_list[0], masks)  # compile + run
+        log(f"V={v_batch}: first call (compile) {time.perf_counter() - t0:.1f}s")
+        iters = max(3, int(np.ceil(32 / v_batch)))
+        for trial in range(trials):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                y, y_val = predictor.predict_videos_batched(
+                    faces_list[i % len(faces_list)], masks)
+            dt = time.perf_counter() - t0
+            vps = v_batch * iters / dt
+            log(f"V={v_batch} trial {trial}: {vps:.1f} videos/s "
+                f"({iters} iters, {dt:.2f}s)")
+            best = max(best, vps)
+
+    print(json.dumps({
+        "metric": "videos_per_sec_per_chip_dfdc15_ensemble",
+        "value": round(best, 2),
+        "unit": "videos/s",
+        "vs_baseline": round(best / A100_FP16_BASELINE_VIDEOS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

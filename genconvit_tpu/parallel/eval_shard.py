@@ -1,0 +1,59 @@
+"""Sharded dataset evaluation.
+
+The reference evaluates datasets serially in one process (ref
+prediction.py:22-47 per-video loop) — the only "cluster" behavior to
+reproduce is embarrassingly-parallel video scoring (SURVEY.md §2.4). Here the
+video list shards across mesh 'data' chips: hosts decode/detect locally, each
+chip scores its shard of the fixed-shape face batch under one jitted call,
+results gather back to the host. Multi-host runs shard the *file list* per
+process (shard_file_list) before this per-host batching.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from genconvit_tpu.infer.engine import Predictor
+from genconvit_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+
+
+def shard_file_list(paths: Sequence[str], process_index: Optional[int] = None,
+                    process_count: Optional[int] = None) -> List[str]:
+    """Round-robin split of the video list across hosts (multi-host entry:
+    jax.distributed.initialize sets process_index/count)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [p for i, p in enumerate(paths) if i % pc == pi]
+
+
+def predict_sharded(
+    predictor: Predictor,
+    faces_batch: np.ndarray,   # [V, F, S, S, 3] uint8
+    masks: np.ndarray,         # [V, F] float32
+    mesh=None,
+    tensor_parallel: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Score V videos with the video axis sharded across mesh 'data'.
+
+    V is padded up to a multiple of the data-axis size (padded rows carry
+    zero masks and are dropped from the result).
+    """
+    mesh = mesh or make_mesh()
+    ndata = mesh.shape["data"]
+    v = faces_batch.shape[0]
+    pad = (-v) % ndata
+    if pad:
+        faces_batch = np.concatenate(
+            [faces_batch, np.zeros((pad,) + faces_batch.shape[1:], faces_batch.dtype)])
+        masks = np.concatenate([masks, np.zeros((pad,) + masks.shape[1:], masks.dtype)])
+
+    params = shard_params(predictor.params, mesh, tensor_parallel)
+    sh = batch_sharding(mesh)
+    fb = jax.device_put(faces_batch, sh)
+    mk = jax.device_put(masks, sh)
+    fn = predictor._forward_fn(faces_batch.shape[1], batched=True)
+    y, y_val = fn(params, fb, mk, predictor._next_rng())
+    return np.asarray(y)[:v], np.asarray(y_val)[:v]
