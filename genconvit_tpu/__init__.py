@@ -9,4 +9,14 @@ GSPMD sharding over a device mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("GENCONVIT_PLATFORM"):
+    # Force a JAX backend (e.g. 'cpu') even when the session's sitecustomize
+    # already imported jax with a TPU plugin: the config update applies as
+    # long as no backend has been initialized yet.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GENCONVIT_PLATFORM"])
+
 from genconvit_tpu.config import Config, load_config  # noqa: F401

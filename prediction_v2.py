@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Metrics-enabled prediction CLI — equivalent of the reference's
+prediction_v2.py (ref prediction_v2.py:320-521): same spine as prediction.py
+plus sklearn metrics and a metadata block (incl. runtime_seconds) embedded in
+the result JSON (schema: ref docs/comparison_tools.md:77-105).
+
+--arch-type v2 is accepted for compatibility; the reference's "v2"
+architecture is behaviorally identical to the original (its SwiGLU module is
+never instantiated — SURVEY.md §8 B12), so both arch types run the same
+graph here. --use-attention/--use-residual are accepted and ignored, exactly
+as in the reference (ref prediction_v2.py:382-387).
+"""
+
+import argparse
+import logging
+import time
+
+from genconvit_tpu.config import apply_size, load_config
+from genconvit_tpu.infer.engine import Predictor
+from genconvit_tpu.infer.result import (attach_metadata, attach_metrics,
+                                        result_path, write_result)
+from genconvit_tpu.infer.walkers import WALKERS, vids
+
+logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+
+def gen_parser() -> argparse.Namespace:
+    p = argparse.ArgumentParser("GenConViT prediction v2 (TPU)")
+    p.add_argument("--p", type=str, help="video or directory path")
+    p.add_argument("--f", type=int, default=15)
+    p.add_argument("--d", type=str, default="other")
+    p.add_argument("--s", type=str)
+    p.add_argument("--e", nargs="?", const="genconvit_ed_inference",
+                   default="genconvit_ed_inference")
+    p.add_argument("--v", "--value", dest="v", nargs="?",
+                   const="genconvit_vae_inference",
+                   default="genconvit_vae_inference")
+    p.add_argument("--fp16", type=str, default=None)
+    p.add_argument("--arch-type", choices=["original", "v2"], default="original",
+                   help="accepted for compatibility; v2 == original (B12)")
+    p.add_argument("--use-attention", action="store_true", help="ignored (B12)")
+    p.add_argument("--use-residual", action="store_true", help="ignored (B12)")
+    p.add_argument("--net", choices=["ed", "vae", "genconvit"], default="genconvit")
+    p.add_argument("--face-backend", default=None)
+    p.add_argument("--weights-dir", default="weight")
+    p.add_argument("--json-dir", default="json_file")
+    p.add_argument("--result-dir", default="result")
+    p.add_argument("--workers", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    start = time.perf_counter()
+    args = gen_parser()
+    config = load_config()
+    if args.s:
+        apply_size(config, args.s)
+    config.weight_dir = args.weights_dir
+
+    predictor = Predictor(config, net=args.net, ed_weight=args.e,
+                          vae_weight=args.v, fp16=bool(args.fp16),
+                          face_backend=args.face_backend)
+
+    dataset = args.d if args.d in WALKERS else "other"
+    if dataset == "other":
+        state = vids(predictor, args.p, args.f, workers=args.workers)
+    elif dataset == "timit":
+        state = WALKERS[dataset](predictor, args.p, args.f, workers=args.workers)
+    else:
+        state = WALKERS[dataset](predictor, args.p, args.f,
+                                 json_dir=args.json_dir, workers=args.workers)
+
+    runtime = time.perf_counter() - start
+    attach_metrics(state.result, state.y_true, state.y_pred)
+    attach_metadata(state.result, dataset=dataset, net=args.net,
+                    num_frames=args.f, runtime_seconds=runtime,
+                    extra={"arch_type": args.arch_type,
+                           "model_size": args.s or "tiny"})
+    out = write_result(state.result,
+                       result_path(args.result_dir, dataset,
+                                   f"{args.net}_{args.arch_type}"))
+    if state.result.get("metrics"):
+        print("metrics:", state.result["metrics"])
+    print(f"result written to {out}")
+    print(f"\n\n--- {runtime:.2f} seconds ---")
+
+
+if __name__ == "__main__":
+    main()
