@@ -78,7 +78,16 @@ class Predictor:
 
         if params is None:
             params = self._load_or_init(ed_weight, vae_weight)
-        self.params = jax.device_put(live_params(params))
+        params = live_params(params)
+        if self.dtype == jnp.bfloat16:
+            # Pre-cast once: the VAE latent heads alone are ~630M params —
+            # casting fp32->bf16 inside every jitted call costs ~4GB of HBM
+            # traffic per batch. Norm statistics are computed in fp32 inside
+            # the ops regardless of storage dtype.
+            from genconvit_tpu.core.pytree import cast_floats
+
+            params = cast_floats(params, jnp.bfloat16)
+        self.params = jax.device_put(params)
 
     # ------------------------------------------------------------- weights
 
@@ -175,6 +184,36 @@ class Predictor:
         faces = self.extract_faces(video_path, num_frames)
         return self.predict_faces(faces, num_frames)
 
+    def extract_faces_from_frames_dir(self, frames_dir: str,
+                                      num_frames: int) -> np.ndarray:
+        """Pre-extracted frame images instead of a video container —
+        equivalent of the reference's df_face_from_images workaround
+        (ref predicition_video_format_error.py:16-23). Frames are the sorted
+        image files, subsampled with the same stepping as video frames."""
+        import cv2
+
+        from genconvit_tpu.data.frames import sample_frame_indices
+
+        names = sorted(f for f in os.listdir(frames_dir)
+                       if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+        idx = sample_frame_indices(len(names), num_frames)
+        frames = []
+        for i in idx:
+            img = cv2.imread(os.path.join(frames_dir, names[i]), cv2.IMREAD_COLOR)
+            if img is not None:
+                frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        if not frames:
+            return np.zeros((0, self.config.img_size, self.config.img_size, 3),
+                            dtype=np.uint8)
+        frames = np.stack(frames)
+        boxes = self.detector.detect(frames)
+        return crop_faces(frames, boxes, num_frames, self.config.img_size)
+
+    def predict_frames_dir(self, frames_dir: str, num_frames: int = 15
+                           ) -> Tuple[int, float]:
+        faces = self.extract_faces_from_frames_dir(frames_dir, num_frames)
+        return self.predict_faces(faces, num_frames)
+
     def predict_files(self, paths: Sequence[str], num_frames: int = 15,
                       workers: int = 8) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
         """Batch driver: host preprocessing in a thread pool (cv2/FFmpeg
@@ -204,3 +243,33 @@ class Predictor:
         y, y_val = fn(self.params, jnp.asarray(faces_batch), jnp.asarray(masks),
                       self._next_rng())
         return np.asarray(y), np.asarray(y_val)
+
+    def predict_videos_stream(self, batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+                              ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Pipelined scoring of a stream of ([V,F,S,S,3], [V,F]) batches.
+
+        The next batch's H2D transfer is issued (async) while the current
+        batch computes, and only the small per-video outputs force syncs —
+        hiding transfer latency and per-launch dispatch overhead behind
+        compute. This is the production shape of dataset-scale eval.
+        """
+        fn = None
+        in_flight: List[Tuple[Any, Any]] = []  # (y_dev, yval_dev)
+        results: List[Tuple[np.ndarray, np.ndarray]] = []
+        staged = None  # device-resident (faces, masks)
+        for faces, masks in batches:
+            nxt = (jax.device_put(faces), jax.device_put(masks))
+            if staged is not None:
+                if fn is None:
+                    fn = self._forward_fn(staged[0].shape[1], batched=True)
+                y, y_val = fn(self.params, staged[0], staged[1], self._next_rng())
+                in_flight.append((y, y_val))
+            staged = nxt
+        if staged is not None:
+            if fn is None:
+                fn = self._forward_fn(staged[0].shape[1], batched=True)
+            y, y_val = fn(self.params, staged[0], staged[1], self._next_rng())
+            in_flight.append((y, y_val))
+        for y, y_val in in_flight:
+            results.append((np.asarray(y), np.asarray(y_val)))
+        return results

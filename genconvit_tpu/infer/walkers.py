@@ -67,24 +67,45 @@ def _predict_all(predictor: Predictor, items: List[Tuple[str, str, str, Optional
 
 def vids(predictor: Predictor, root_dir: str, num_frames: int = 15,
          workers: int = 8) -> WalkState:
-    """Flat directory of videos (ref prediction.py:12-47)."""
+    """Flat directory of videos (ref prediction.py:12-47). Subdirectories of
+    pre-extracted frame images are scored too (one "video" per subdir) —
+    covering the reference's frame-folder workaround
+    (ref predicition_video_format_error.py:16-23)."""
     state = WalkState()
     items = []
+    frame_dirs = []
     for filename in sorted(os.listdir(root_dir)):
         p = os.path.join(root_dir, filename)
         if is_video(p):
             items.append((p, "uncategorized", "unknown", None))
+        elif os.path.isdir(p) and any(
+                f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+                for f in os.listdir(p)):
+            frame_dirs.append(p)
         else:
             log.warning("invalid video file: %s", p)
-    return _predict_all(predictor, items, num_frames, state, workers)
+    state = _predict_all(predictor, items, num_frames, state, workers)
+    for p in frame_dirs:
+        try:
+            verdict = predictor.predict_frames_dir(p, num_frames)
+        except Exception as e:  # per-video tolerance
+            log.error("error on %s: %s", p, e)
+            verdict = None
+        state.record(p, verdict, "uncategorized")
+    return state
 
 
 def faceforensics(predictor: Predictor, root_dir: str, num_frames: int = 15,
-                  json_dir: str = "json_file", workers: int = 8) -> WalkState:
+                  json_dir: str = "json_file", workers: int = 8,
+                  include_faceshifter: bool = False) -> WalkState:
     """FF++ (ref prediction.py:50-104): only files listed in
-    ff_file_list.json; klass from the manipulation dir; c23/c40 from path."""
+    ff_file_list.json; klass from the manipulation dir; c23/c40 from path.
+    include_faceshifter adds the FaceShifter manipulation dir (the
+    reference's separate prediction_chirag_ff.py:38 covers it)."""
     ffdirs = ["DeepFakeDetection", "Deepfakes", "Face2Face", "FaceSwap",
               "NeuralTextures"]
+    if include_faceshifter:
+        ffdirs.append("FaceShifter")
     with open(os.path.join(json_dir, "ff_file_list.json")) as f:
         ff_file = set(json.load(f))
     state = WalkState()

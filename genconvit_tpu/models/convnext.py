@@ -84,6 +84,15 @@ def init_convnext(key: jax.Array, name: str = "convnext_tiny", num_classes: int 
 
 
 def _block(p: Dict, x: jax.Array) -> jax.Array:
+    # Fused Pallas path for the large early stages (H >= 28) on TPU: one
+    # kernel per block instead of 5+ HBM round trips (ops/pallas/convnext_block).
+    # Late stages are too small to amortize the kernel and stay on XLA.
+    from genconvit_tpu.ops.pallas import pallas_enabled
+
+    if pallas_enabled() and x.shape[1] >= 28 and x.shape[1] % 14 == 0:
+        from genconvit_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+        return fused_convnext_block(x, p)
     shortcut = x
     dim = x.shape[-1]
     x = conv2d(x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"], padding=3, groups=dim)

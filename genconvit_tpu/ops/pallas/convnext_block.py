@@ -1,0 +1,149 @@
+"""Pallas TPU kernel: fully fused ConvNeXt block.
+
+One kernel = depthwise 7x7 conv + bias -> LayerNorm(C) -> MLP (fc1, exact
+GELU, fc2) -> layer-scale gamma -> residual add. The XLA path materializes
+the stage tensor in HBM between each of those ops; fusing keeps a row-slab
+resident in VMEM so the stage tensor is read once and written once per block
+(the MLP matmuls still ride the MXU via jnp.dot inside the kernel).
+
+Grid: (batch, row-tiles). The input is pre-padded by 3 on H, W (W rounded up
+so the slab's sublane dim is 8-aligned) and C zero-padded to a lane multiple
+of 128 — Mosaic requires aligned HBM slice DMAs. Zero channel padding stays
+exact end-to-end: padded lanes carry zeros through the conv (zero taps), the
+LN (moments divide by the real C), the MLP (zero rows/cols), gamma and the
+residual. The 49 depthwise taps unroll into VPU FMAs with fp32 accumulation.
+
+Numerics match models/convnext._block (parity-tested in tests/test_pallas.py
+in interpret mode and on-chip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LN_EPS = 1e-6
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7): Mosaic has no
+    erf/erfc lowering, and 1.5e-7 is far below bf16 resolution."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _block_kernel(x_pad_hbm, w_dw, b_dw, ln_scale, ln_bias,
+                  w1, b1, w2, b2, gamma, out_ref, slab, sem,
+                  *, rows: int, w_out: int, c_real: int):
+    i = pl.program_id(1)
+    r6, _, c_pad = slab.shape
+
+    dma = pltpu.make_async_copy(
+        x_pad_hbm.at[pl.program_id(0), pl.ds(i * rows, r6), :, :],
+        slab, sem)
+    dma.start()
+    dma.wait()
+
+    # depthwise 7x7, fp32 accumulation on the VPU (49 unrolled FMAs)
+    acc = jnp.broadcast_to(b_dw[:].astype(jnp.float32), (rows, w_out, c_pad))
+    for dy in range(7):
+        for dx in range(7):
+            tap = slab[dy:dy + rows, dx:dx + w_out, :].astype(jnp.float32)
+            acc = acc + tap * w_dw[dy, dx, :].astype(jnp.float32)
+
+    # LayerNorm over the real C via moments: padded lanes hold exact zeros,
+    # so plain lane-sums divided by c_real give the true mean/variance.
+    inv_c = 1.0 / c_real
+    mean = jnp.sum(acc, axis=-1, keepdims=True) * inv_c
+    var = jnp.sum(jnp.square(acc), axis=-1, keepdims=True) * inv_c - jnp.square(mean)
+    y = (acc - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    y = y * ln_scale[:].astype(jnp.float32) + ln_bias[:].astype(jnp.float32)
+
+    # MLP on the MXU: [R*W, C] @ [C, 4C] -> GELU -> @ [4C, C]
+    dtype = out_ref.dtype
+    y2 = y.reshape(rows * w_out, c_pad).astype(dtype)
+    h = jnp.dot(y2, w1[:], preferred_element_type=jnp.float32)
+    h = h + b1[:].astype(jnp.float32)
+    h = (0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))).astype(dtype)
+    o = jnp.dot(h, w2[:], preferred_element_type=jnp.float32)
+    o = o + b2[:].astype(jnp.float32)
+    o = o.reshape(rows, w_out, c_pad) * gamma[:].astype(jnp.float32)
+
+    residual = slab[3:3 + rows, 3:3 + w_out, :].astype(jnp.float32)
+    out_ref[0] = (residual + o).astype(dtype)
+
+
+def _pick_rows(h: int) -> int:
+    for r in (14, 7, 8, 4, 2, 1):
+        if h % r == 0 and r <= h:
+            return r
+    return 1
+
+
+def _pad_last(arr: jax.Array, target: int, axis: int = -1) -> jax.Array:
+    pad = target - arr.shape[axis]
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis % arr.ndim] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_convnext_block(x: jax.Array, p: Dict, interpret: bool = False) -> jax.Array:
+    """x: [N,H,W,C]; p: ConvNeXt block param dict (models/convnext.py layout).
+    Drop-in replacement for models.convnext._block."""
+    n, h, w, c = x.shape
+    rows = _pick_rows(h)
+    c_pad = -(-c // 128) * 128               # lane alignment for the slab DMA
+    w_pad_total = (-(w + 6) % 8) + 6         # sublane alignment (left pad 3)
+    x_pad = jnp.pad(x, ((0, 0), (3, 3), (3, w_pad_total - 3), (0, c_pad - c)))
+    hidden = p["mlp"]["fc1"]["kernel"].shape[1]
+
+    w_dw = _pad_last(p["conv_dw"]["kernel"][:, :, 0, :], c_pad).astype(x.dtype)
+    args = (
+        x_pad,
+        w_dw,
+        _pad_last(p["conv_dw"]["bias"], c_pad),
+        _pad_last(p["norm"]["scale"], c_pad),
+        _pad_last(p["norm"]["bias"], c_pad),
+        _pad_last(p["mlp"]["fc1"]["kernel"], c_pad, axis=0).astype(x.dtype),
+        p["mlp"]["fc1"]["bias"],
+        _pad_last(p["mlp"]["fc2"]["kernel"], c_pad, axis=1).astype(x.dtype),
+        _pad_last(p["mlp"]["fc2"]["bias"], c_pad),
+        _pad_last(p["gamma"], c_pad),
+    )
+
+    kernel = functools.partial(_block_kernel, rows=rows, w_out=w, c_real=c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, h // rows),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=pl.BlockSpec((1, rows, w, c_pad), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c_pad), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 6, w + w_pad_total, c_pad), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * c_pad * (49 + 2 * hidden),
+            bytes_accessed=2 * n * h * w * c_pad * x.dtype.itemsize
+            + 2 * c_pad * hidden * x.dtype.itemsize,
+            transcendentals=n * h * w * hidden,
+        ),
+    )(*args)
+    return out[..., :c]

@@ -1,0 +1,89 @@
+"""Dataset walker tests over synthetic directory trees (tiny 64px videos)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from genconvit_tpu.config import Config
+from genconvit_tpu.infer.engine import Predictor
+from genconvit_tpu.infer import walkers
+
+
+def _write_video(path, n_frames=12, size=64):
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fourcc = cv2.VideoWriter_fourcc(*("mp4v" if path.endswith(".mp4") else "MJPG"))
+    vw = cv2.VideoWriter(path, fourcc, 12, (size, size))
+    rng = np.random.default_rng(abs(hash(path)) % 2**32)
+    for _ in range(n_frames):
+        vw.write(rng.integers(0, 255, (size, size, 3), np.uint8))
+    vw.release()
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = Config()
+    cfg.img_size = 64
+    cfg.model.latent_dims = cfg.derived_latent_dims()
+    cfg.weight_dir = "/nonexistent"
+    return Predictor(cfg, net="ed", face_backend="fullframe")
+
+
+def test_dfdc_walker(tmp_path, predictor):
+    root = tmp_path / "dfdc"
+    names = ["aaa.mp4", "bbb.mp4"]
+    for n in names:
+        _write_video(str(root / n))
+    meta = {"aaa.mp4": {"label": "FAKE"}, "bbb.mp4": {"label": "REAL"}}
+    (root / "metadata.json").write_text(json.dumps(meta))
+    jdir = tmp_path / "json"
+    jdir.mkdir()
+    (jdir / "dfdc_files.json").write_text(json.dumps(names))
+    state = walkers.dfdc(predictor, str(root), 4, json_dir=str(jdir), workers=2)
+    assert state.count == 2
+    assert state.result["video"]["correct_label"] == ["FAKE", "REAL"]
+    assert len(state.y_true) == 2
+
+
+def test_celeb_walker(tmp_path, predictor):
+    root = tmp_path / "celeb"
+    entries = ["Celeb-real/r1.mp4", "Celeb-synthesis/f1.mp4"]
+    for e in entries:
+        _write_video(str(root / e))
+    jdir = tmp_path / "json"
+    jdir.mkdir()
+    (jdir / "celeb_test.json").write_text(json.dumps(entries))
+    state = walkers.celeb(predictor, str(root), 4, json_dir=str(jdir), workers=2)
+    assert state.result["video"]["correct_label"] == ["REAL", "FAKE"]
+    assert state.result["video"]["klass"] == ["celeb-real", "celeb-synthesis"]
+
+
+def test_faceforensics_walker(tmp_path, predictor):
+    root = tmp_path / "ff"
+    vids = {
+        "original_sequences/youtube/c23/videos/001.mp4": ("original", "REAL"),
+        "manipulated_sequences/Deepfakes/c40/videos/001_002.mp4": ("Deepfakes", "FAKE"),
+    }
+    for rel in vids:
+        _write_video(str(root / rel))
+    jdir = tmp_path / "json"
+    jdir.mkdir()
+    (jdir / "ff_file_list.json").write_text(json.dumps(["001.mp4", "001_002.mp4"]))
+    state = walkers.faceforensics(predictor, str(root), 4, json_dir=str(jdir),
+                                  workers=2)
+    assert state.count == 2
+    assert set(state.result["video"]["klass"]) == {"original", "deepfakes"}
+    assert set(state.result["video"]["compression"]) == {"c23", "c40"}
+
+
+def test_timit_walker_labels_everything_fake(tmp_path, predictor):
+    root = tmp_path / "timit"
+    _write_video(str(root / "higher_quality" / "spk1" / "a.avi"))
+    _write_video(str(root / "lower_quality" / "spk1" / "b.avi"))
+    state = walkers.timit(predictor, str(root), 4, workers=2)
+    assert state.count == 2
+    # quirk B8: the walker labels everything FAKE
+    assert state.result["video"]["correct_label"] == ["FAKE", "FAKE"]
