@@ -215,25 +215,67 @@ class Predictor:
         return self.predict_faces(faces, num_frames)
 
     def predict_files(self, paths: Sequence[str], num_frames: int = 15,
-                      workers: int = 8) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
+                      workers: int = 8, video_batch: int = 8,
+                      ) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
         """Batch driver: host preprocessing in a thread pool (cv2/FFmpeg
-        release the GIL), device forward overlapped on the main thread.
-        Failures yield None (per-video fault tolerance, ref prediction.py:25-45)."""
-        results: List[Tuple[str, Optional[Tuple[int, float]]]] = []
+        release the GIL), videos grouped into [V,F,...] blocks whose device
+        transfers overlap compute (one launch per V videos, not per video).
+        Failures yield None (per-video fault tolerance, ref prediction.py:25-45).
+        Zero-face videos get the (0, 0.5) default without a device trip.
+        """
+        ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
+        if not paths:
+            return []
+        s = self.config.img_size
+        fn = self._forward_fn(num_frames, batched=True) if len(paths) > 1 else None
+
+        pending: List[Tuple[str, np.ndarray, np.ndarray]] = []
+        in_flight: List[Tuple[List[str], Any, Any]] = []
+
+        def flush():
+            if not pending:
+                return
+            names = [p for p, _, _ in pending]
+            faces = np.stack([f for _, f, _ in pending])
+            masks = np.stack([m for _, _, m in pending])
+            if len(names) < video_batch:  # pad the tail: one compile per V
+                padn = video_batch - len(names)
+                faces = np.concatenate(
+                    [faces, np.zeros((padn,) + faces.shape[1:], faces.dtype)])
+                masks = np.concatenate(
+                    [masks, np.zeros((padn,) + masks.shape[1:], masks.dtype)])
+            fd, md = jax.device_put(faces), jax.device_put(masks)
+            y, y_val = fn(self.params, fd, md, self._next_rng())
+            in_flight.append((names, y, y_val))  # async; sync at the end
+            pending.clear()
+
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-            futures = {ex.submit(self.extract_faces, p, num_frames): p for p in paths}
-            ordered = {p: None for p in paths}
+            futures = {ex.submit(self.extract_faces, p, num_frames): p
+                       for p in paths}
             for fut in cf.as_completed(futures):
                 p = futures[fut]
                 try:
                     faces = fut.result()
-                    ordered[p] = self.predict_faces(faces, num_frames)
                 except Exception as e:  # per-video tolerance
                     log.error("error on %s: %s", p, e)
-                    ordered[p] = None
-        for p in paths:
-            results.append((p, ordered[p]))
-        return results
+                    continue
+                if len(faces) == 0:
+                    ordered[p] = DEFAULT_VERDICT
+                    continue
+                if fn is None:  # single video: use the per-video path
+                    ordered[p] = self.predict_faces(faces, num_frames)
+                    continue
+                batch, mask = pad_faces(faces, num_frames, s)
+                pending.append((p, batch, mask))
+                if len(pending) >= video_batch:
+                    flush()
+        if fn is not None:
+            flush()
+        for names, y, y_val in in_flight:
+            y, y_val = np.asarray(y), np.asarray(y_val)
+            for i, p in enumerate(names):
+                ordered[p] = (int(y[i]), float(y_val[i]))
+        return [(p, ordered[p]) for p in paths]
 
     def predict_videos_batched(self, faces_batch: np.ndarray, masks: np.ndarray,
                                ) -> Tuple[np.ndarray, np.ndarray]:

@@ -76,8 +76,13 @@ def ed_apply(params: Dict, images: jax.Array) -> Tuple[jax.Array, jax.Array]:
     when unused)."""
     enc = ed_encode(params, images)
     dec = ed_decode(params, enc)
-    x1 = convnext_apply(params["backbone"], dec)
-    x2 = convnext_apply(params["backbone"], images)
+    # One 2N-batch backbone call instead of two N-batch calls — bitwise
+    # identical (ConvNeXt has no cross-batch ops) but doubles the conv batch
+    # the MXU sees and halves kernel launches.
+    both = convnext_apply(params["backbone"],
+                          jnp.concatenate([dec, images], axis=0))
+    n = images.shape[0]
+    x1, x2 = both[:n], both[n:]
     x = jnp.concatenate([x1, x2], axis=1)
     x = gelu(x)
     x = linear(x, params["fc"]["kernel"], params["fc"]["bias"])
