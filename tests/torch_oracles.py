@@ -195,3 +195,100 @@ class SwinWindowAttentionOracle(nn.Module):
         attn = attn.softmax(dim=-1)
         x = (attn @ v).transpose(1, 2).reshape(b, l, c)
         return self.proj(x)
+
+
+class SwinBlockOracle(nn.Module):
+    """Swin block: W-MSA/SW-MSA + MLP with pre-norms (timm 0.6.5 graph)."""
+
+    def __init__(self, dim, heads, window, shift, resolution):
+        super().__init__()
+        self.window, self.shift, self.resolution = window, shift, resolution
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = SwinWindowAttentionOracle(dim, heads, window)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = nn.Sequential(OrderedDict([
+            ("fc1", nn.Linear(dim, 4 * dim)), ("act", nn.GELU()),
+            ("fc2", nn.Linear(4 * dim, dim))]))
+        if shift > 0:
+            h = w = resolution
+            img = torch.zeros(h, w, dtype=torch.long)
+            cnt = 0
+            for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+                for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+                    img[hs, ws] = cnt
+                    cnt += 1
+            win = img.view(h // window, window, w // window, window)
+            win = win.permute(0, 2, 1, 3).reshape(-1, window * window)
+            mask = win[:, None, :] - win[:, :, None]
+            mask = torch.where(mask != 0, torch.tensor(-100.0), torch.tensor(0.0))
+            self.register_buffer("attn_mask", mask, persistent=False)
+        else:
+            self.attn_mask = None
+
+    def forward(self, x):
+        h = w = self.resolution
+        n, l, c = x.shape
+        shortcut = x
+        x = self.norm1(x).view(n, h, w, c)
+        if self.shift > 0:
+            x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+        win = x.view(n, h // self.window, self.window, w // self.window,
+                     self.window, c).permute(0, 1, 3, 2, 4, 5)
+        win = win.reshape(-1, self.window * self.window, c)
+        win = self.attn(win, self.attn_mask)
+        x = win.view(n, h // self.window, w // self.window, self.window,
+                     self.window, c).permute(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
+        if self.shift > 0:
+            x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        x = shortcut + x.view(n, l, c)
+        return x + self.mlp(self.norm2(x))
+
+
+class SwinOracle(nn.Module):
+    """Small Swin with timm-0.6.5-compatible names (patch_embed/layers/norm/head)."""
+
+    def __init__(self, img=32, dim=16, depths=(2, 2), heads=(2, 4), window=4,
+                 num_classes=10):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, 4, stride=4)
+        self.patch_embed.norm = nn.LayerNorm(dim)
+        res = img // 4
+        layers = []
+        d = dim
+        for li, depth in enumerate(depths):
+            layer = nn.Module()
+            blocks = []
+            for bi in range(depth):
+                shift = 0 if (bi % 2 == 0 or res <= window) else window // 2
+                blocks.append(SwinBlockOracle(d, heads[li], window, shift, res))
+            layer.blocks = nn.Sequential(*blocks)
+            if li < len(depths) - 1:
+                layer.downsample = nn.Module()
+                layer.downsample.norm = nn.LayerNorm(4 * d)
+                layer.downsample.reduction = nn.Linear(4 * d, 2 * d, bias=False)
+                d *= 2
+                res //= 2
+            layers.append(layer)
+        self.layers = nn.ModuleList(layers)
+        self.norm = nn.LayerNorm(d)
+        self.head = nn.Linear(d, num_classes)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x)
+        n, c, h, w = x.shape
+        x = x.flatten(2).transpose(1, 2)
+        x = self.patch_embed.norm(x)
+        for layer in self.layers:
+            x = layer.blocks(x)
+            if hasattr(layer, "downsample"):
+                l = x.shape[1]
+                hh = int(l ** 0.5)
+                xi = x.view(n, hh, hh, -1)
+                x = torch.cat([xi[:, 0::2, 0::2], xi[:, 1::2, 0::2],
+                               xi[:, 0::2, 1::2], xi[:, 1::2, 1::2]], dim=-1)
+                x = x.view(n, (hh // 2) ** 2, -1)
+                x = layer.downsample.norm(x)
+                x = layer.downsample.reduction(x)
+        x = self.norm(x)
+        return self.head(x.mean(dim=1))
