@@ -59,8 +59,10 @@ def main():
 
     rng = np.random.default_rng(0)
     best = 0.0
+    # V=32 consistently regresses on this chip (memory/transfer pressure);
+    # 8-16 is the sweet spot.
     batch_sizes = [int(v) for v in os.environ.get(
-        "GENCONVIT_BENCH_BATCHES", "8,16,32").split(",")]
+        "GENCONVIT_BENCH_BATCHES", "8,16").split(",")]
     trials = int(os.environ.get("GENCONVIT_BENCH_TRIALS", "3"))
     for v_batch in batch_sizes:
         # distinct batches per iteration (the execution path may cache
