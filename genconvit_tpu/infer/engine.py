@@ -30,6 +30,7 @@ from genconvit_tpu.data.preprocess import normalize_batch, pad_faces
 from genconvit_tpu.data.video import extract_frames
 from genconvit_tpu.infer.aggregate import DEFAULT_VERDICT, aggregate_logits
 from genconvit_tpu.models.genconvit import genconvit_apply, init_genconvit
+from genconvit_tpu.utils.timing import StageTimers
 
 log = logging.getLogger("genconvit_tpu")
 
@@ -67,6 +68,7 @@ class Predictor:
         self._rng = jax.random.PRNGKey(seed)
         self._video_counter = 0
         self._jit_cache: Dict[Tuple[int, bool], Any] = {}
+        self.timers = StageTimers()
 
         backend = face_backend or self.config.face_backend
         try:
@@ -164,21 +166,26 @@ class Predictor:
             return DEFAULT_VERDICT
         batch, mask = pad_faces(faces_u8, num_frames, self.config.img_size)
         fn = self._forward_fn(num_frames, batched=False)
-        y, y_val = fn(self.params, jnp.asarray(batch), jnp.asarray(mask),
-                      self._next_rng())
-        return int(y), float(y_val)
+        with self.timers.stage("device_forward"):
+            y, y_val = fn(self.params, jnp.asarray(batch), jnp.asarray(mask),
+                          self._next_rng())
+            y, y_val = int(y), float(y_val)
+        return y, y_val
 
     def extract_faces(self, video_path: str, num_frames: int) -> np.ndarray:
         """Decode + detect + crop for one video — the host-side stage."""
-        frames = extract_frames(video_path, num_frames, self.prefer_native_decode)
+        with self.timers.stage("decode"):
+            frames = extract_frames(video_path, num_frames, self.prefer_native_decode)
         if frames.size == 0:
             return np.zeros((0, self.config.img_size, self.config.img_size, 3),
                             dtype=np.uint8)
         det = self.detector
         if isinstance(det, RecordedDetector):
             det = det.for_video(os.path.basename(video_path))
-        boxes = det.detect(frames)
-        return crop_faces(frames, boxes, num_frames, self.config.img_size)
+        with self.timers.stage("detect"):
+            boxes = det.detect(frames)
+        with self.timers.stage("crop"):
+            return crop_faces(frames, boxes, num_frames, self.config.img_size)
 
     def predict_video(self, video_path: str, num_frames: int = 15) -> Tuple[int, float]:
         faces = self.extract_faces(video_path, num_frames)
@@ -271,10 +278,11 @@ class Predictor:
                     flush()
         if fn is not None:
             flush()
-        for names, y, y_val in in_flight:
-            y, y_val = np.asarray(y), np.asarray(y_val)
-            for i, p in enumerate(names):
-                ordered[p] = (int(y[i]), float(y_val[i]))
+        with self.timers.stage("device_forward"):
+            for names, y, y_val in in_flight:
+                y, y_val = np.asarray(y), np.asarray(y_val)
+                for i, p in enumerate(names):
+                    ordered[p] = (int(y[i]), float(y_val[i]))
         return [(p, ordered[p]) for p in paths]
 
     def predict_videos_batched(self, faces_batch: np.ndarray, masks: np.ndarray,

@@ -75,7 +75,8 @@ def main():
     attach_metadata(state.result, dataset=dataset, net=args.net,
                     num_frames=args.f, runtime_seconds=runtime,
                     extra={"arch_type": args.arch_type,
-                           "model_size": args.s or "tiny"})
+                           "model_size": args.s or "tiny",
+                           "stage_timers": predictor.timers.summary()})
     out = write_result(state.result,
                        result_path(args.result_dir, dataset,
                                    f"{args.net}_{args.arch_type}"))
