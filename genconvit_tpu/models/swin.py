@@ -142,11 +142,27 @@ def _window_attention(p: Dict, x: jax.Array, num_heads: int, window: int,
     qkv = linear(x, p["qkv"]["kernel"], p["qkv"]["bias"])
     qkv = qkv.reshape(b, l, 3, num_heads, head_dim).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # [B, nH, L, hd]
-    q = q * (head_dim ** -0.5)
-    attn = jnp.einsum("bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32)
     idx = jnp.asarray(relative_position_index(window).reshape(-1))
     bias = jnp.take(p["relative_position_bias_table"], idx, axis=0)
     bias = bias.reshape(l, l, num_heads).transpose(2, 0, 1)
+
+    from genconvit_tpu.ops.pallas import pallas_enabled
+
+    if pallas_enabled():
+        from genconvit_tpu.ops.pallas.window_attn import window_attention_pallas
+
+        g = b * num_heads  # head fastest, window next — kernel's indexing
+        out = window_attention_pallas(
+            q.reshape(g, l, head_dim), k.reshape(g, l, head_dim),
+            v.reshape(g, l, head_dim), bias,
+            mask=mask, heads=num_heads,
+            windows_per_mask=(mask.shape[0] if mask is not None else 1))
+        out = out.reshape(b, num_heads, l, head_dim)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
+        return linear(out, p["proj"]["kernel"], p["proj"]["bias"])
+
+    q = q * (head_dim ** -0.5)
+    attn = jnp.einsum("bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32)
     attn = attn + bias.astype(attn.dtype)
     if mask is not None:
         nw = mask.shape[0]
