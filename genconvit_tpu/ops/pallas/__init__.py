@@ -7,10 +7,16 @@ time from static shapes, so the flag composes with jit.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
+
+_local = threading.local()
 
 
 def pallas_enabled() -> bool:
+    if getattr(_local, "disabled", 0):
+        return False
     flag = os.environ.get("GENCONVIT_PALLAS", "auto")
     if flag == "1":
         return True
@@ -19,3 +25,14 @@ def pallas_enabled() -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Trace-time opt-out — used by the training path, where the inference
+    kernels would need custom VJPs to differentiate through."""
+    _local.disabled = getattr(_local, "disabled", 0) + 1
+    try:
+        yield
+    finally:
+        _local.disabled -= 1

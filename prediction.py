@@ -14,6 +14,7 @@ Extensions: --net, --face-backend, --weights-dir, --json-dir, --result-dir,
 import argparse
 import json
 import logging
+import os
 import time
 
 from genconvit_tpu.config import apply_size, load_config
@@ -56,6 +57,9 @@ def gen_parser() -> argparse.Namespace:
 def main():
     start = time.perf_counter()
     args = gen_parser()
+    if not args.p or not os.path.isdir(args.p):
+        raise SystemExit(f"error: --p must name an existing directory "
+                         f"(got {args.p!r})")
     config = load_config()
     if args.s:
         apply_size(config, args.s)
