@@ -54,6 +54,39 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return payload
 
 
+def save_checkpoint_orbax(dir_path: str, params: Any, *, epoch: int = 0,
+                          min_loss: float = 0.0, opt_state: Any = None) -> None:
+    """Orbax-backed directory checkpoint — the multi-host/async-friendly
+    backend for pod-scale training (the msgpack format stays the single-file
+    default; both hold the same logical contents)."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "params": _to_numpy(params),
+        "opt_state": (_to_numpy(serialization.to_state_dict(opt_state))
+                      if opt_state is not None else {}),
+        "meta": {"format": FORMAT, "epoch": epoch, "min_loss": min_loss},
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(dir_path), payload, force=True)
+
+
+def load_checkpoint_orbax(dir_path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(os.path.abspath(dir_path))
+    meta = payload.get("meta", {})
+    return {
+        "format": meta.get("format", FORMAT),
+        "epoch": int(meta.get("epoch", 0)),
+        "min_loss": float(meta.get("min_loss", 0.0)),
+        "params": payload["params"],
+        "opt_state": payload.get("opt_state") or None,
+        "extra": {},
+    }
+
+
 def restore_opt_state(template_opt_state: Any, saved_state_dict: Any) -> Any:
     """Rehydrate an optimizer state from its serialized state dict, using a
     freshly initialized opt_state as the structure template."""

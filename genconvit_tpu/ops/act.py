@@ -26,3 +26,13 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
 
 def sigmoid(x: jax.Array) -> jax.Array:
     return jax.nn.sigmoid(x)
+
+
+def swiglu(x: jax.Array) -> jax.Array:
+    """SwiGLU gate: split the last axis in half, silu(a) * b.
+
+    The reference *documents* a SwiGLU v2 head but never wires it
+    (SURVEY.md §8 B12); this implements the documented intent for the
+    opt-in research head (docs/genconvit_v2.md)."""
+    a, b = jnp.split(x, 2, axis=-1)
+    return jax.nn.silu(a) * b

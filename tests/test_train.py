@@ -114,3 +114,11 @@ def test_train_model_end_to_end_with_resume(data_dir, small_cfg, tmp_path):
     summary2 = train_model(data_dir, "ed", 1, batch_size=4, config=small_cfg,
                            weight_dir=wdir, pretrained=summary["checkpoint"])
     assert os.path.isfile(summary2["checkpoint"])
+
+
+def test_train_model_data_parallel_8dev(data_dir, small_cfg, tmp_path):
+    """Data-parallel training over the virtual 8-CPU mesh."""
+    summary = train_model(data_dir, "ed", 1, batch_size=8, config=small_cfg,
+                          weight_dir=str(tmp_path / "w"), data_parallel=True)
+    assert os.path.isfile(summary["checkpoint"])
+    assert np.isfinite(summary["history"]["train_loss"][-1])
