@@ -140,6 +140,62 @@ class RecordedDetector(FaceDetector):
         return out
 
 
+class JaxFaceDetector(FaceDetector):
+    """On-device batched detector (models/facedet.py): all frames of a video
+    are scored in ONE TPU call instead of serial per-frame host detection.
+    Needs a trained checkpoint (none ships with the repo); random init keeps
+    the pipeline runnable but finds nothing useful."""
+
+    def __init__(self, checkpoint: Optional[str] = None,
+                 score_thresh: float = 0.5, max_faces: int = 4):
+        import jax
+
+        from genconvit_tpu.models.facedet import (INPUT_SIZE, detect_batch,
+                                                  init_facedet)
+
+        self._input = INPUT_SIZE
+        self.score_thresh = score_thresh
+        if checkpoint and os.path.isfile(checkpoint):
+            from genconvit_tpu.core.checkpoint import load_checkpoint
+
+            self.params = load_checkpoint(checkpoint)["params"]
+        else:
+            import logging
+
+            logging.getLogger("genconvit_tpu").warning(
+                "jax face detector: no checkpoint (%r) — RANDOM weights",
+                checkpoint)
+            self.params = init_facedet(jax.random.PRNGKey(0))
+        import functools
+
+        self._fn = jax.jit(functools.partial(
+            detect_batch, max_faces=max_faces, score_thresh=score_thresh))
+
+    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        import cv2
+
+        h, w = frames.shape[1:3]
+        small = np.stack([
+            cv2.resize(f, (self._input, self._input),
+                       interpolation=cv2.INTER_AREA) for f in frames])
+        scores, boxes = self._fn(self.params, small)
+        scores, boxes = np.asarray(scores), np.asarray(boxes)
+        out: List[List[Box]] = []
+        for fi in range(len(frames)):
+            faces: List[Box] = []
+            for s, (cy, cx, bh, bw) in zip(scores[fi], boxes[fi]):
+                if s <= self.score_thresh or not np.isfinite(s):
+                    continue
+                top = int(np.clip((cy - bh / 2) * h, 0, h))
+                bottom = int(np.clip((cy + bh / 2) * h, 0, h))
+                left = int(np.clip((cx - bw / 2) * w, 0, w))
+                right = int(np.clip((cx + bw / 2) * w, 0, w))
+                if bottom > top and right > left:
+                    faces.append((top, right, bottom, left))
+            out.append(faces)
+        return out
+
+
 def make_detector(backend: str, **kwargs) -> FaceDetector:
     if backend in ("fullframe", "none"):
         return FullFrameDetector()
@@ -152,6 +208,10 @@ def make_detector(backend: str, **kwargs) -> FaceDetector:
             "GENCONVIT_HAAR_CASCADE", "haarcascade_frontalface_default.xml")))
     if backend == "recorded":
         return RecordedDetector(kwargs["sidecar_path"])
+    if backend == "jax":
+        return JaxFaceDetector(
+            kwargs.get("checkpoint", os.environ.get("GENCONVIT_FACEDET_CKPT")),
+            **{k: v for k, v in kwargs.items() if k in ("score_thresh", "max_faces")})
     raise ValueError(f"unknown face backend: {backend}")
 
 

@@ -1,0 +1,88 @@
+"""On-device face detector: shapes, NMS correctness vs numpy reference,
+backend integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genconvit_tpu.models.facedet import (
+    anchor_centers, detect_batch, facedet_apply, init_facedet, nms)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_facedet(jax.random.PRNGKey(0))
+
+
+def test_anchor_count():
+    assert anchor_centers().shape == (16 * 16 * 2 + 8 * 8 * 6, 2)
+
+
+def test_forward_shapes(params, rng):
+    x = jnp.asarray(rng.standard_normal((3, 128, 128, 3)).astype(np.float32))
+    scores, boxes = facedet_apply(params, x)
+    assert scores.shape == (3, 896)
+    assert boxes.shape == (3, 896, 4)
+    assert np.isfinite(np.asarray(boxes)).all()
+
+
+def _nms_numpy(scores, boxes, max_out, score_thresh, iou_thresh):
+    def corners(b):
+        return b[0] - b[2] / 2, b[1] - b[3] / 2, b[0] + b[2] / 2, b[1] + b[3] / 2
+
+    def iou(a, b):
+        t1, l1, b1, r1 = corners(a)
+        t2, l2, b2, r2 = corners(b)
+        ih = max(0.0, min(b1, b2) - max(t1, t2))
+        iw = max(0.0, min(r1, r2) - max(l1, l2))
+        inter = ih * iw
+        union = a[2] * a[3] + b[2] * b[3] - inter
+        return inter / max(union, 1e-9)
+
+    order = np.argsort(-scores)[:32]
+    kept = []
+    alive = list(order)
+    while alive and len(kept) < max_out:
+        j = alive[0]
+        if scores[j] <= score_thresh:
+            break
+        kept.append(j)
+        alive = [k for k in alive if iou(boxes[j], boxes[k]) < iou_thresh]
+    return kept
+
+
+def test_nms_matches_numpy(rng):
+    scores = rng.random(100).astype(np.float32)
+    centers = rng.random((100, 2)).astype(np.float32)
+    sizes = (rng.random((100, 2)) * 0.3 + 0.05).astype(np.float32)
+    boxes = np.concatenate([centers, sizes], -1)
+    ks, kb = nms(jnp.asarray(scores), jnp.asarray(boxes), max_out=4,
+                 score_thresh=0.2, iou_thresh=0.3)
+    ks, kb = np.asarray(ks), np.asarray(kb)
+    ref = _nms_numpy(scores, boxes, 4, 0.2, 0.3)
+    got = [i for i in range(4) if np.isfinite(ks[i])]
+    assert len(got) == len(ref)
+    for i, j in zip(got, ref):
+        np.testing.assert_allclose(kb[i], boxes[j], rtol=1e-5)
+        np.testing.assert_allclose(ks[i], scores[j], rtol=1e-5)
+
+
+def test_detect_batch_shapes(params, rng):
+    frames = (rng.random((5, 128, 128, 3)) * 255).astype(np.uint8)
+    scores, boxes = detect_batch(params, jnp.asarray(frames), max_faces=4)
+    assert scores.shape == (5, 4)
+    assert boxes.shape == (5, 4, 4)
+
+
+def test_jax_backend_integration(rng):
+    from genconvit_tpu.data.faces import make_detector
+
+    det = make_detector("jax")  # random weights: pipeline must still run
+    frames = (rng.random((2, 240, 320, 3)) * 255).astype(np.uint8)
+    out = det.detect(frames)
+    assert len(out) == 2
+    for boxes in out:
+        for (t, r, b, l) in boxes:
+            assert 0 <= t < b <= 240 and 0 <= l < r <= 320
