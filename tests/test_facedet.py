@@ -86,3 +86,42 @@ def test_jax_backend_integration(rng):
     for boxes in out:
         for (t, r, b, l) in boxes:
             assert 0 <= t < b <= 240 and 0 <= l < r <= 320
+
+
+def test_facedet_training_overfits_synthetic(rng):
+    """A few steps on a tiny synthetic box dataset must reduce the loss and
+    make the detector find the synthetic 'face'."""
+    import optax
+
+    from genconvit_tpu.train.facedet_train import (
+        assign_targets, make_facedet_train_step)
+    from genconvit_tpu.models.facedet import detect_batch, init_facedet
+
+    def synth(n):
+        imgs, boxes = [], []
+        for i in range(n):
+            img = np.zeros((128, 128, 3), np.uint8)
+            cy, cx = rng.uniform(0.3, 0.7, 2)
+            h = w = 0.25
+            t, l = int((cy - h / 2) * 128), int((cx - w / 2) * 128)
+            img[t:t + 32, l:l + 32] = 200  # bright square = "face"
+            imgs.append(img)
+            boxes.append([[cy, cx, h, w]])
+        return imgs, boxes
+
+    imgs, boxes = synth(16)
+    labels, regs = zip(*[assign_targets(b) for b in boxes])
+    params = init_facedet(jax.random.PRNGKey(0))
+    tx = optax.adam(2e-3)
+    opt = tx.init(params)
+    step = make_facedet_train_step(tx)
+    ib = jnp.asarray(np.stack(imgs))
+    lb = jnp.asarray(np.stack(labels))
+    rb = jnp.asarray(np.stack(regs))
+    losses = []
+    for _ in range(120):
+        params, opt, loss, _ = step(params, opt, ib, lb, rb)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+    scores, det = detect_batch(params, ib[:2], max_faces=1, score_thresh=0.1)
+    assert np.isfinite(np.asarray(scores)).any()
