@@ -46,6 +46,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_ubyte)]
             lib.gcv_close.argtypes = [ctypes.c_void_p]
+            lib.gcv_open_scaled.restype = ctypes.c_void_p
+            lib.gcv_open_scaled.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                            ctypes.c_int]
+            lib.gcv_decode_videos.restype = ctypes.c_int
+            lib.gcv_decode_videos.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
             _lib = lib
             return _lib
     _load_failed = True
@@ -56,15 +64,43 @@ def native_available() -> bool:
     return _load() is not None
 
 
-class NativeVideoReader:
-    """Same interface as CV2VideoReader, backed by libgcvdecode."""
+def decode_videos_batch(paths, frames_per_video: int, out_w: int, out_h: int,
+                        threads: int = 0):
+    """C++ thread-pool batch decode: returns (frames uint8
+    [V, F, out_h, out_w, 3], counts int64 [V]) — frames decoded directly at
+    the target size (swscale SWS_AREA), with the reference's frame stepping.
+    counts[v] == 0 marks an unreadable video (per-video fault tolerance)."""
+    import numpy as np  # local; module numpy import exists at top
 
-    def __init__(self, path: str):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder not built")
+    n = len(paths)
+    out = np.zeros((n, frames_per_video, out_h, out_w, 3), np.uint8)
+    counts = np.zeros((n,), np.int64)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.gcv_decode_videos(
+        c_paths, n, frames_per_video, out_w, out_h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), threads)
+    return out, counts
+
+
+class NativeVideoReader:
+    """Same interface as CV2VideoReader, backed by libgcvdecode.
+    out_size=(w, h) decodes directly at the target size (swscale SWS_AREA) —
+    fused decode+resize for the fullframe path."""
+
+    def __init__(self, path: str, out_size: Optional[tuple] = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native decoder not built")
         self._lib = lib
-        self._h = lib.gcv_open(path.encode())
+        if out_size:
+            self._h = lib.gcv_open_scaled(path.encode(), int(out_size[0]),
+                                          int(out_size[1]))
+        else:
+            self._h = lib.gcv_open(path.encode())
         if not self._h:
             raise IOError(f"cannot open video: {path}")
         self.path = path

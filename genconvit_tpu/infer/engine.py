@@ -25,7 +25,9 @@ import numpy as np
 from genconvit_tpu.config import Config
 from genconvit_tpu.core.checkpoint import load_params, resolve_weight
 from genconvit_tpu.core.pytree import live_params
-from genconvit_tpu.data.faces import FaceDetector, RecordedDetector, crop_faces, make_detector
+from genconvit_tpu.data.faces import (FaceDetector, FullFrameDetector,
+                                      RecordedDetector, crop_faces,
+                                      make_detector)
 from genconvit_tpu.data.preprocess import normalize_batch, pad_faces
 from genconvit_tpu.data.video import extract_frames
 from genconvit_tpu.infer.aggregate import DEFAULT_VERDICT, aggregate_logits
@@ -173,7 +175,28 @@ class Predictor:
         return y, y_val
 
     def extract_faces(self, video_path: str, num_frames: int) -> np.ndarray:
-        """Decode + detect + crop for one video — the host-side stage."""
+        """Decode + detect + crop for one video — the host-side stage.
+
+        Fullframe + native decoder fast path: swscale decodes straight to the
+        model size (fused decode+resize in C++), skipping detect/crop."""
+        if isinstance(self.detector, FullFrameDetector) and self.prefer_native_decode:
+            try:
+                from genconvit_tpu.data.native import NativeVideoReader, native_available
+                from genconvit_tpu.data.frames import sample_frame_indices
+
+                if native_available():
+                    with self.timers.stage("decode"):
+                        s = self.config.img_size
+                        r = NativeVideoReader(video_path, out_size=(s, s))
+                        try:
+                            idx = sample_frame_indices(len(r), num_frames)
+                            return r.read_frames(idx)
+                        finally:
+                            r.close()
+            except IOError:
+                raise
+            except Exception:
+                pass  # fall through to the generic path
         with self.timers.stage("decode"):
             frames = extract_frames(video_path, num_frames, self.prefer_native_decode)
         if frames.size == 0:

@@ -28,7 +28,8 @@ _DEC_CH = (256, 128, 64, 32, 16, 3)
 def init_ed(key: jax.Array, backbone: str = "convnext_tiny",
             num_classes: int = 2, backbone_classes: int = 1000,
             carry_dead_params: bool = False,
-            embedder: str = "swin_tiny_patch4_window7_224") -> Dict:
+            embedder: str = "swin_tiny_patch4_window7_224",
+            head_act: str = "default") -> Dict:
     keys = jax.random.split(key, 16)
     ki = iter(keys)
     params: Dict[str, Any] = {
@@ -41,7 +42,12 @@ def init_ed(key: jax.Array, backbone: str = "convnext_tiny",
         "backbone": init_convnext(next(ki), backbone, backbone_classes),
     }
     num_features = backbone_classes * 2
-    params["fc"] = linear_init(next(ki), num_features, num_features // 4)
+    if head_act == "swiglu":
+        # research head (docs/genconvit_v2.md): fc emits gate pairs,
+        # swiglu halves them back to fc2's input width
+        params["fc"] = linear_init(next(ki), num_features, num_features // 2)
+    else:
+        params["fc"] = linear_init(next(ki), num_features, num_features // 4)
     params["fc2"] = linear_init(next(ki), num_features // 4, num_classes)
     if carry_dead_params:
         # Checkpoint-shape parity with the reference (SURVEY.md §8 B9/Q1):
@@ -86,6 +92,13 @@ def ed_apply(params: Dict, images: jax.Array) -> Tuple[jax.Array, jax.Array]:
     x = jnp.concatenate([x1, x2], axis=1)
     x = gelu(x)
     x = linear(x, params["fc"]["kernel"], params["fc"]["bias"])
-    x = gelu(x)
+    # head activation is shape-driven: a swiglu-head checkpoint's fc emits
+    # 2x fc2's input width (gate pairs); the reference head uses GELU
+    if x.shape[-1] == 2 * params["fc2"]["kernel"].shape[0]:
+        from genconvit_tpu.ops.act import swiglu
+
+        x = swiglu(x)
+    else:
+        x = gelu(x)
     logits = linear(x, params["fc2"]["kernel"], params["fc2"]["bias"])
     return logits, dec

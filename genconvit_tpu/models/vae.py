@@ -46,7 +46,8 @@ KL_WEIGHT = 0.5  # ref model/genconvit_vae.py:40
 def init_vae(key: jax.Array, backbone: str = "convnext_tiny", img_size: int = 224,
              latent_dims: Optional[int] = None, num_classes: int = 2,
              backbone_classes: int = 1000, carry_dead_params: bool = False,
-             embedder: str = "swin_tiny_patch4_window7_224") -> Dict:
+             embedder: str = "swin_tiny_patch4_window7_224",
+             head_act: str = "default") -> Dict:
     feat_hw = img_size // 16          # 14 for 224
     flat = 128 * feat_hw * feat_hw    # 25088 for 224
     if latent_dims is None:
@@ -70,7 +71,10 @@ def init_vae(key: jax.Array, backbone: str = "convnext_tiny", img_size: int = 22
         "backbone": init_convnext(next(ki), backbone, backbone_classes),
     }
     num_feature = backbone_classes * 2
-    params["fc"] = linear_init(next(ki), num_feature, num_feature // 4)
+    if head_act == "swiglu":  # research head, see docs/genconvit_v2.md
+        params["fc"] = linear_init(next(ki), num_feature, num_feature // 2)
+    else:
+        params["fc"] = linear_init(next(ki), num_feature, num_feature // 4)
     params["fc2"] = linear_init(next(ki), num_feature // 4, num_classes)
     if carry_dead_params:
         params["fc3"] = linear_init(next(ki), num_feature // 2, num_feature // 4)  # dead (B9)
@@ -140,7 +144,12 @@ def vae_apply(
     h = jnp.concatenate([x1, x2], axis=1)
     h = relu(h)
     h = linear(h, params["fc"]["kernel"], params["fc"]["bias"])
-    h = relu(h)
+    if h.shape[-1] == 2 * params["fc2"]["kernel"].shape[0]:
+        from genconvit_tpu.ops.act import swiglu
+
+        h = swiglu(h)  # swiglu-head checkpoint (docs/genconvit_v2.md)
+    else:
+        h = relu(h)
     logits = linear(h, params["fc2"]["kernel"], params["fc2"]["bias"])
     recon = resize_bilinear_torch(x_hat, (x.shape[1], x.shape[2]))
     return logits, recon, aux

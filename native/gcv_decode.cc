@@ -17,8 +17,10 @@
 //
 // Build: make -C native   (links libavformat/avcodec/avutil/swscale)
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -220,5 +222,53 @@ int gcv_read_frames(void* h, const long long* indices, int n, uint8_t* out) {
 }
 
 void gcv_close(void* h) { delete static_cast<GcvVideo*>(h); }
+
+// Batched multi-video decode with an internal thread pool: for each of
+// `n_videos` paths, sample the reference's evenly-stepped `frames_per_video`
+// indices (step = max(1, n/F) — model/pred_func.py:138-143) and decode into
+// out[v] = [frames_per_video, out_h, out_w, 3] RGB24 (scaled via swscale).
+// counts[v] receives the number of frames actually decoded (0 on open
+// failure — per-video fault tolerance). Returns 0.
+int gcv_decode_videos(const char** paths, int n_videos, int frames_per_video,
+                      int out_w, int out_h, uint8_t* out,
+                      long long* counts, int n_threads);
+
+int gcv_decode_videos(const char** paths, int n_videos, int frames_per_video,
+                      int out_w, int out_h, uint8_t* out,
+                      long long* counts, int n_threads) {
+  const size_t video_bytes =
+      (size_t)frames_per_video * out_h * out_w * 3;
+  std::vector<std::thread> pool;
+  std::atomic<int> next{0};
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > n_videos) n_threads = n_videos;
+  auto worker = [&]() {
+    for (;;) {
+      int v = next.fetch_add(1);
+      if (v >= n_videos) return;
+      counts[v] = 0;
+      void* h = gcv_open_scaled(paths[v], out_w, out_h);
+      if (!h) continue;
+      long long n = gcv_num_frames(h);
+      if (n <= 0) {
+        gcv_close(h);
+        continue;
+      }
+      long long step = n / frames_per_video;
+      if (step < 1) step = 1;
+      std::vector<long long> idx;
+      for (long long i = 0; i < n && (int)idx.size() < frames_per_video;
+           i += step) {
+        idx.push_back(i);
+      }
+      counts[v] = gcv_read_frames(h, idx.data(), (int)idx.size(),
+                                  out + (size_t)v * video_bytes);
+      gcv_close(h);
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
 
 }  // extern "C"

@@ -155,3 +155,15 @@ class TestGenConViTEnsemble:
         l1, _ = genconvit_apply(params, x, net="vae", sample=False)
         l2, _ = genconvit_apply(params, x, net="vae", sample=False)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_swiglu_head_option(small_cfg):
+    from genconvit_tpu.models.ed import ed_apply, init_ed
+
+    params = init_ed(jax.random.PRNGKey(0), head_act="swiglu",
+                     backbone_classes=10)
+    assert params["fc"]["kernel"].shape == (20, 10)  # gate pairs
+    x = jnp.ones((2, 64, 64, 3))
+    logits, _ = ed_apply(params, x)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(np.asarray(logits)).all()
