@@ -54,6 +54,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
                 ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
+            lib.gcv_color_info.restype = ctypes.c_int
+            lib.gcv_color_info.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_int),
+                                           ctypes.POINTER(ctypes.c_int)]
+            lib.gcv_read_frames_yuv.restype = ctypes.c_int
+            lib.gcv_read_frames_yuv.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
             _lib = lib
             return _lib
     _load_failed = True
@@ -123,6 +131,30 @@ class NativeVideoReader:
         if got < 0:
             raise IOError(f"decode failed: {self.path}")
         return out[:got]
+
+    def color_info(self):
+        """('bt601'|'bt709', full_range bool) for device-side conversion."""
+        space, rng = ctypes.c_int(), ctypes.c_int()
+        self._lib.gcv_color_info(self._h, ctypes.byref(space), ctypes.byref(rng))
+        return ("bt709" if space.value else "bt601"), bool(rng.value)
+
+    def read_frames_yuv(self, indices: Sequence[int]):
+        """Planar YUV420: returns (y [n,H,W], u [n,H/2,W/2], v [n,H/2,W/2])
+        uint8 — half the bytes of RGB24 for the host->device transfer."""
+        n = len(indices)
+        w, h = self.width, self.height
+        fb = w * h + 2 * (w // 2) * (h // 2)
+        buf = np.empty((n, fb), dtype=np.uint8)
+        idx = (ctypes.c_longlong * n)(*[int(i) for i in indices])
+        got = self._lib.gcv_read_frames_yuv(
+            self._h, idx, n, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        if got < 0:
+            raise IOError(f"decode failed: {self.path}")
+        buf = buf[:got]
+        y = buf[:, : w * h].reshape(got, h, w)
+        u = buf[:, w * h: w * h + (w // 2) * (h // 2)].reshape(got, h // 2, w // 2)
+        v = buf[:, w * h + (w // 2) * (h // 2):].reshape(got, h // 2, w // 2)
+        return y, u, v
 
     def close(self):
         if self._h:

@@ -55,6 +55,7 @@ class Predictor:
         face_backend: Optional[str] = None,
         deterministic_vae: bool = False,
         prefer_native_decode: bool = True,
+        transfer_format: str = "rgb",  # 'rgb' | 'yuv420' (fullframe+native)
         seed: int = 0,
     ):
         self.config = config or Config()
@@ -67,6 +68,7 @@ class Predictor:
                                else default_compute_dtype())
         self.deterministic_vae = deterministic_vae
         self.prefer_native_decode = prefer_native_decode
+        self.transfer_format = transfer_format
         self._rng = jax.random.PRNGKey(seed)
         self._video_counter = 0
         self._jit_cache: Dict[Tuple[int, bool], Any] = {}
@@ -244,6 +246,88 @@ class Predictor:
         faces = self.extract_faces_from_frames_dir(frames_dir, num_frames)
         return self.predict_faces(faces, num_frames)
 
+    def _extract_yuv(self, video_path: str, num_frames: int):
+        """Fullframe YUV420 extraction: (y [F,S,S], u, v [F,S/2,S/2], matrix
+        [3,3], mask [F]) — half the H2D bytes of RGB."""
+        from genconvit_tpu.data.frames import sample_frame_indices
+        from genconvit_tpu.data.native import NativeVideoReader
+        from genconvit_tpu.data.preprocess import yuv_matrix
+
+        s = self.config.img_size
+        with self.timers.stage("decode"):
+            r = NativeVideoReader(video_path, out_size=(s, s))
+            try:
+                idx = sample_frame_indices(len(r), num_frames)
+                y, u, v = r.read_frames_yuv(idx)
+                space, full = r.color_info()
+            finally:
+                r.close()
+        k = len(y)
+        f = num_frames
+        yb = np.zeros((f, s, s), np.uint8)
+        ub = np.zeros((f, s // 2, s // 2), np.uint8)
+        vb = np.zeros((f, s // 2, s // 2), np.uint8)
+        yb[:k], ub[:k], vb[:k] = y[:f], u[:f], v[:f]
+        mask = np.zeros((f,), np.float32)
+        mask[: min(k, f)] = 1.0
+        return yb, ub, vb, yuv_matrix(space, full), mask
+
+    def predict_files_yuv(self, paths: Sequence[str], num_frames: int = 15,
+                          workers: int = 8, video_batch: int = 16,
+                          ) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
+        """Fullframe low-H2D driver: native YUV420 decode at model size ->
+        grouped [V,F,...] plane batches -> fused device conversion+forward.
+        Per-video coefficient matrices are averaged per group (mixed 601/709
+        groups are rare; exactness there needs per-video matrices [V,3,3])."""
+        ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
+        fn = self._forward_fn_yuv(num_frames)
+        pending: List[Tuple[str, Any]] = []
+        in_flight: List[Tuple[List[str], Any, Any]] = []
+
+        def flush():
+            if not pending:
+                return
+            names = [p for p, _ in pending]
+            items = [it for _, it in pending]
+            while len(items) < video_batch:  # pad tail: one compile per V
+                z = items[0]
+                items.append(tuple(np.zeros_like(a) for a in z[:3])
+                             + (z[3], np.zeros_like(z[4])))
+            yb = np.stack([it[0] for it in items])
+            ub = np.stack([it[1] for it in items])
+            vb = np.stack([it[2] for it in items])
+            matrix = np.mean([it[3] for it in items[:len(names)]], axis=0)
+            masks = np.stack([it[4] for it in items])
+            y, y_val = fn(self.params, jax.device_put(yb), jax.device_put(ub),
+                          jax.device_put(vb), jax.device_put(matrix.astype(np.float32)),
+                          jax.device_put(masks), self._next_rng())
+            in_flight.append((names, y, y_val))
+            pending.clear()
+
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            futures = {ex.submit(self._extract_yuv, p, num_frames): p
+                       for p in paths}
+            for fut in cf.as_completed(futures):
+                p = futures[fut]
+                try:
+                    item = fut.result()
+                except Exception as e:
+                    log.error("error on %s: %s", p, e)
+                    continue
+                if item[4].sum() == 0:
+                    ordered[p] = DEFAULT_VERDICT
+                    continue
+                pending.append((p, item))
+                if len(pending) >= video_batch:
+                    flush()
+        flush()
+        with self.timers.stage("device_forward"):
+            for names, y, y_val in in_flight:
+                y, y_val = np.asarray(y), np.asarray(y_val)
+                for i, p in enumerate(names):
+                    ordered[p] = (int(y[i]), float(y_val[i]))
+        return [(p, ordered[p]) for p in paths]
+
     def predict_files(self, paths: Sequence[str], num_frames: int = 15,
                       workers: int = 8, video_batch: int = 8,
                       ) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
@@ -253,6 +337,15 @@ class Predictor:
         Failures yield None (per-video fault tolerance, ref prediction.py:25-45).
         Zero-face videos get the (0, 0.5) default without a device trip.
         """
+        if (self.transfer_format == "yuv420" and len(paths) > 1
+                and isinstance(self.detector, FullFrameDetector)):
+            try:
+                from genconvit_tpu.data.native import native_available
+
+                if native_available():
+                    return self.predict_files_yuv(paths, num_frames, workers)
+            except Exception as e:
+                log.warning("yuv420 path unavailable (%s); using rgb", e)
         ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
         if not paths:
             return []
@@ -316,6 +409,64 @@ class Predictor:
         y, y_val = fn(self.params, jnp.asarray(faces_batch), jnp.asarray(masks),
                       self._next_rng())
         return np.asarray(y), np.asarray(y_val)
+
+    def _forward_fn_yuv(self, num_frames: int):
+        """Batched forward taking planar YUV420 — half the H2D bytes of RGB;
+        colorspace conversion fuses into the on-device normalize
+        (data/preprocess.normalize_yuv420)."""
+        key = ("yuv", num_frames)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        net = self.net
+        dtype = self.dtype
+        sample = not self.deterministic_vae
+
+        from genconvit_tpu.data.preprocess import normalize_yuv420
+
+        def fn(params, yp, up, vp, matrix, mask, rng):
+            v, f, hh, ww = yp.shape
+            x = normalize_yuv420(yp.reshape(v * f, hh, ww),
+                                 up.reshape(v * f, hh // 2, ww // 2),
+                                 vp.reshape(v * f, hh // 2, ww // 2),
+                                 matrix, dtype)
+            logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
+            if net == "genconvit":
+                ed, vae = logits[: v * f], logits[v * f:]
+                per_video = jnp.concatenate(
+                    [ed.reshape(v, f, 2), vae.reshape(v, f, 2)], axis=1)
+                full_mask = jnp.concatenate([mask, mask], axis=1)
+            else:
+                per_video = logits.reshape(v, f, 2)
+                full_mask = mask
+            return jax.vmap(aggregate_logits)(per_video, full_mask)
+
+        jfn = jax.jit(fn)
+        self._jit_cache[key] = jfn
+        return jfn
+
+    def predict_videos_stream_yuv(self, batches) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Pipelined scoring of ((y,u,v) planes [V,F,...], matrix [3,3],
+        mask [V,F]) batches — the low-H2D production path."""
+        fn = None
+        in_flight: List[Tuple[Any, Any]] = []
+        staged = None
+        for planes, matrix, masks in batches:
+            nxt = (tuple(jax.device_put(p) for p in planes),
+                   jax.device_put(matrix), jax.device_put(masks))
+            if staged is not None:
+                if fn is None:
+                    fn = self._forward_fn_yuv(staged[0][0].shape[1])
+                y, y_val = fn(self.params, *staged[0], staged[1], staged[2],
+                              self._next_rng())
+                in_flight.append((y, y_val))
+            staged = nxt
+        if staged is not None:
+            if fn is None:
+                fn = self._forward_fn_yuv(staged[0][0].shape[1])
+            y, y_val = fn(self.params, *staged[0], staged[1], staged[2],
+                          self._next_rng())
+            in_flight.append((y, y_val))
+        return [(np.asarray(y), np.asarray(v)) for y, v in in_flight]
 
     def predict_videos_stream(self, batches: Iterable[Tuple[np.ndarray, np.ndarray]],
                               ) -> List[Tuple[np.ndarray, np.ndarray]]:

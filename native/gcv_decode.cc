@@ -35,7 +35,8 @@ namespace {
 struct GcvVideo {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
-  SwsContext* sws = nullptr;
+  SwsContext* sws = nullptr;       // -> RGB24
+  SwsContext* sws_yuv = nullptr;   // -> YUV420P (lazily created)
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   int stream_idx = -1;
@@ -49,6 +50,7 @@ struct GcvVideo {
 
   ~GcvVideo() {
     if (sws) sws_freeContext(sws);
+    if (sws_yuv) sws_freeContext(sws_yuv);
     if (frame) av_frame_free(&frame);
     if (pkt) av_packet_free(&pkt);
     if (codec) avcodec_free_context(&codec);
@@ -78,9 +80,9 @@ int64_t count_frames(AVFormatContext* fmt, int stream_idx) {
   return n;
 }
 
-// Decode forward until frame number `target` is emitted; write RGB24 to out.
-// Returns 0 on success.
-int decode_until(GcvVideo* v, int64_t target, uint8_t* out) {
+// Decode forward until frame number `target` is emitted; write RGB24 (or
+// planar YUV420) to out. Returns 0 on success.
+int decode_until(GcvVideo* v, int64_t target, uint8_t* out, bool yuv = false) {
   if (target < v->next_frame) {
     // need to go backwards: seek to keyframe before target and drain
     AVStream* st = v->fmt->streams[v->stream_idx];
@@ -112,10 +114,25 @@ int decode_until(GcvVideo* v, int64_t target, uint8_t* out) {
       }
       v->next_frame = num + 1;
       if (num >= target) {
-        uint8_t* dst[1] = {out};
-        int dst_stride[1] = {3 * v->out_width};
-        sws_scale(v->sws, v->frame->data, v->frame->linesize, 0, v->height,
-                  dst, dst_stride);
+        if (yuv) {
+          if (!v->sws_yuv) {
+            v->sws_yuv = sws_getContext(
+                v->width, v->height, v->codec->pix_fmt, v->out_width,
+                v->out_height, AV_PIX_FMT_YUV420P, SWS_AREA, nullptr,
+                nullptr, nullptr);
+          }
+          const int w = v->out_width, h2 = v->out_height;
+          uint8_t* dst[3] = {out, out + (size_t)w * h2,
+                             out + (size_t)w * h2 + (size_t)(w / 2) * (h2 / 2)};
+          int dst_stride[3] = {w, w / 2, w / 2};
+          sws_scale(v->sws_yuv, v->frame->data, v->frame->linesize, 0,
+                    v->height, dst, dst_stride);
+        } else {
+          uint8_t* dst[1] = {out};
+          int dst_stride[1] = {3 * v->out_width};
+          sws_scale(v->sws, v->frame->data, v->frame->linesize, 0, v->height,
+                    dst, dst_stride);
+        }
         av_frame_unref(v->frame);
         return 0;
       }
@@ -193,6 +210,40 @@ void* gcv_open_scaled(const char* path, int out_w, int out_h) {
 }
 
 void* gcv_open(const char* path) { return gcv_open_scaled(path, 0, 0); }
+
+// Colorspace info for device-side YUV->RGB: space 1 = BT.709, 0 = BT.601
+// (swscale-style heuristic when unspecified: HD => 709); range 1 = full.
+int gcv_color_info(void* h, int* space, int* range) {
+  auto v = static_cast<GcvVideo*>(h);
+  AVColorSpace cs = v->codec->colorspace;
+  if (cs == AVCOL_SPC_BT709) {
+    *space = 1;
+  } else if (cs == AVCOL_SPC_BT470BG || cs == AVCOL_SPC_SMPTE170M) {
+    *space = 0;
+  } else {
+    *space = (v->height > 576) ? 1 : 0;
+  }
+  *range = (v->codec->color_range == AVCOL_RANGE_JPEG) ? 1 : 0;
+  return 0;
+}
+
+// Planar YUV420 variant of gcv_read_frames: out is [n] frames of
+// W*H + 2*(W/2)*(H/2) bytes each (Y then U then V planes).
+int gcv_read_frames_yuv(void* h, const long long* indices, int n,
+                        uint8_t* out) {
+  auto v = static_cast<GcvVideo*>(h);
+  const size_t frame_bytes = (size_t)v->out_width * v->out_height +
+                             2 * (size_t)(v->out_width / 2) *
+                                 (v->out_height / 2);
+  int got = 0;
+  for (int i = 0; i < n; ++i) {
+    if (decode_until(v, indices[i], out + (size_t)got * frame_bytes, true) != 0) {
+      break;
+    }
+    ++got;
+  }
+  return got;
+}
 
 long long gcv_num_frames(void* h) {
   return static_cast<GcvVideo*>(h)->num_frames;

@@ -50,6 +50,8 @@ def gen_parser() -> argparse.Namespace:
     p.add_argument("--result-dir", default="result")
     p.add_argument("--deterministic-vae", action="store_true",
                    help="z = mu instead of eval-time sampling (quirk B4 off)")
+    p.add_argument("--transfer-format", choices=["rgb", "yuv420"], default="rgb",
+                   help="yuv420 halves host->device bytes (fullframe+native)")
     p.add_argument("--workers", type=int, default=8)
     return p.parse_args()
 
@@ -73,6 +75,7 @@ def main():
         fp16=bool(args.fp16),
         face_backend=args.face_backend,
         deterministic_vae=args.deterministic_vae,
+        transfer_format=args.transfer_format,
     )
 
     dataset = args.d if args.d in ("dfdc", "faceforensics", "timit", "celeb") else "other"
