@@ -2,16 +2,18 @@
 
 One kernel = depthwise 7x7 conv + bias -> LayerNorm(C) -> MLP (fc1, exact
 GELU, fc2) -> layer-scale gamma -> residual add. The XLA path materializes
-the stage tensor in HBM between each of those ops; fusing keeps a row-slab
-resident in VMEM so the stage tensor is read once and written once per block
-(the MLP matmuls still ride the MXU via jnp.dot inside the kernel).
+the stage tensor in HBM between each of those ops; fusing keeps an
+image-sized slab resident in VMEM so the stage tensor is read once and
+written once per block, and the MLP matmuls see [H*W, C] panels on the MXU.
 
-Grid: (batch, row-tiles). The input is pre-padded by 3 on H, W (W rounded up
-so the slab's sublane dim is 8-aligned) and C zero-padded to a lane multiple
-of 128 — Mosaic requires aligned HBM slice DMAs. Zero channel padding stays
-exact end-to-end: padded lanes carry zeros through the conv (zero taps), the
-LN (moments divide by the real C), the MLP (zero rows/cols), gamma and the
-residual. The 49 depthwise taps unroll into VPU FMAs with fp32 accumulation.
+Grid: one step per batch image, with the next image's slab DMA double-
+buffered behind the current step's compute. The input is pre-padded by 3 on
+H, W (W rounded so the slab's sublane dim is 8-aligned) and C zero-padded to
+a lane multiple of 128 — Mosaic requires aligned HBM slice DMAs. Zero channel
+padding stays exact end-to-end: padded lanes carry zeros through the conv
+(zero taps), the LN (moments divide by the real C), the MLP (zero rows/cols),
+gamma and the residual. The 49 depthwise taps unroll into VPU FMAs with fp32
+accumulation.
 
 Numerics match models/convnext._block (parity-tested in tests/test_pallas.py
 in interpret mode and on-chip).
@@ -45,21 +47,33 @@ def _erf(x):
 
 def _block_kernel(x_pad_hbm, w_dw, b_dw, ln_scale, ln_bias,
                   w1, b1, w2, b2, gamma, out_ref, slab, sem,
-                  *, rows: int, w_out: int, c_real: int):
-    i = pl.program_id(1)
-    r6, _, c_pad = slab.shape
+                  *, h_out: int, w_out: int, c_real: int):
+    n_img = pl.num_programs(0)
+    i = pl.program_id(0)
+    _, r6, _, c_pad = slab.shape
 
-    dma = pltpu.make_async_copy(
-        x_pad_hbm.at[pl.program_id(0), pl.ds(i * rows, r6), :, :],
-        slab, sem)
-    dma.start()
-    dma.wait()
+    def dma(slot, img):
+        return pltpu.make_async_copy(x_pad_hbm.at[img], slab.at[slot],
+                                     sem.at[slot])
+
+    # double buffering: step i computes slot i%2 while i+1 streams into the
+    # other slot (warm-up starts slot 0 at step 0)
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n_img)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    cur = slab[i % 2]
 
     # depthwise 7x7, fp32 accumulation on the VPU (49 unrolled FMAs)
-    acc = jnp.broadcast_to(b_dw[:].astype(jnp.float32), (rows, w_out, c_pad))
+    acc = jnp.broadcast_to(b_dw[:].astype(jnp.float32), (h_out, w_out, c_pad))
     for dy in range(7):
         for dx in range(7):
-            tap = slab[dy:dy + rows, dx:dx + w_out, :].astype(jnp.float32)
+            tap = cur[dy:dy + h_out, dx:dx + w_out, :].astype(jnp.float32)
             acc = acc + tap * w_dw[dy, dx, :].astype(jnp.float32)
 
     # LayerNorm over the real C via moments: padded lanes hold exact zeros,
@@ -70,25 +84,18 @@ def _block_kernel(x_pad_hbm, w_dw, b_dw, ln_scale, ln_bias,
     y = (acc - mean) * jax.lax.rsqrt(var + _LN_EPS)
     y = y * ln_scale[:].astype(jnp.float32) + ln_bias[:].astype(jnp.float32)
 
-    # MLP on the MXU: [R*W, C] @ [C, 4C] -> GELU -> @ [4C, C]
+    # MLP on the MXU: [H*W, C] @ [C, 4C] -> GELU -> @ [4C, C]
     dtype = out_ref.dtype
-    y2 = y.reshape(rows * w_out, c_pad).astype(dtype)
+    y2 = y.reshape(h_out * w_out, c_pad).astype(dtype)
     h = jnp.dot(y2, w1[:], preferred_element_type=jnp.float32)
     h = h + b1[:].astype(jnp.float32)
     h = (0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))).astype(dtype)
     o = jnp.dot(h, w2[:], preferred_element_type=jnp.float32)
     o = o + b2[:].astype(jnp.float32)
-    o = o.reshape(rows, w_out, c_pad) * gamma[:].astype(jnp.float32)
+    o = o.reshape(h_out, w_out, c_pad) * gamma[:].astype(jnp.float32)
 
-    residual = slab[3:3 + rows, 3:3 + w_out, :].astype(jnp.float32)
+    residual = cur[3:3 + h_out, 3:3 + w_out, :].astype(jnp.float32)
     out_ref[0] = (residual + o).astype(dtype)
-
-
-def _pick_rows(h: int) -> int:
-    for r in (14, 7, 8, 4, 2, 1):
-        if h % r == 0 and r <= h:
-            return r
-    return 1
 
 
 def _pad_last(arr: jax.Array, target: int, axis: int = -1) -> jax.Array:
@@ -105,7 +112,6 @@ def fused_convnext_block(x: jax.Array, p: Dict, interpret: bool = False) -> jax.
     """x: [N,H,W,C]; p: ConvNeXt block param dict (models/convnext.py layout).
     Drop-in replacement for models.convnext._block."""
     n, h, w, c = x.shape
-    rows = _pick_rows(h)
     c_pad = -(-c // 128) * 128               # lane alignment for the slab DMA
     w_pad_total = (-(w + 6) % 8) + 6         # sublane alignment (left pad 3)
     x_pad = jnp.pad(x, ((0, 0), (3, 3), (3, w_pad_total - 3), (0, c_pad - c)))
@@ -125,18 +131,18 @@ def fused_convnext_block(x: jax.Array, p: Dict, interpret: bool = False) -> jax.
         _pad_last(p["gamma"], c_pad),
     )
 
-    kernel = functools.partial(_block_kernel, rows=rows, w_out=w, c_real=c)
+    kernel = functools.partial(_block_kernel, h_out=h, w_out=w, c_real=c)
     out = pl.pallas_call(
         kernel,
-        grid=(n, h // rows),
+        grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-        out_specs=pl.BlockSpec((1, rows, w, c_pad), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, h, w, c_pad), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c_pad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows + 6, w + w_pad_total, c_pad), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, h + 6, w + w_pad_total, c_pad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
