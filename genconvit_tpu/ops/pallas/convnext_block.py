@@ -47,14 +47,17 @@ def _erf(x):
 
 def _block_kernel(x_pad_hbm, w_dw, b_dw, ln_scale, ln_bias,
                   w1, b1, w2, b2, gamma, out_ref, slab, sem,
-                  *, h_out: int, w_out: int, c_real: int):
-    n_img = pl.num_programs(0)
+                  *, h_out: int, w_out: int, c_real: int, ipt: int):
+    """ipt = images per grid step: 1 for large feature maps (the slab is an
+    image), >1 for small ones (amortizes per-step overhead and feeds the MXU
+    [ipt*H*W, C] panels)."""
+    n_steps = pl.num_programs(0)
     i = pl.program_id(0)
-    _, r6, _, c_pad = slab.shape
+    _, _, _, _, c_pad = slab.shape
 
-    def dma(slot, img):
-        return pltpu.make_async_copy(x_pad_hbm.at[img], slab.at[slot],
-                                     sem.at[slot])
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            x_pad_hbm.at[pl.ds(step * ipt, ipt)], slab.at[slot], sem.at[slot])
 
     # double buffering: step i computes slot i%2 while i+1 streams into the
     # other slot (warm-up starts slot 0 at step 0)
@@ -62,18 +65,19 @@ def _block_kernel(x_pad_hbm, w_dw, b_dw, ln_scale, ln_bias,
     def _():
         dma(0, 0).start()
 
-    @pl.when(i + 1 < n_img)
+    @pl.when(i + 1 < n_steps)
     def _():
         dma((i + 1) % 2, i + 1).start()
 
     dma(i % 2, i).wait()
-    cur = slab[i % 2]
+    cur = slab[i % 2]  # [ipt, h+6, w_pad, c_pad]
 
     # depthwise 7x7, fp32 accumulation on the VPU (49 unrolled FMAs)
-    acc = jnp.broadcast_to(b_dw[:].astype(jnp.float32), (h_out, w_out, c_pad))
+    acc = jnp.broadcast_to(b_dw[:].astype(jnp.float32),
+                           (ipt, h_out, w_out, c_pad))
     for dy in range(7):
         for dx in range(7):
-            tap = cur[dy:dy + h_out, dx:dx + w_out, :].astype(jnp.float32)
+            tap = cur[:, dy:dy + h_out, dx:dx + w_out, :].astype(jnp.float32)
             acc = acc + tap * w_dw[dy, dx, :].astype(jnp.float32)
 
     # LayerNorm over the real C via moments: padded lanes hold exact zeros,
@@ -84,18 +88,18 @@ def _block_kernel(x_pad_hbm, w_dw, b_dw, ln_scale, ln_bias,
     y = (acc - mean) * jax.lax.rsqrt(var + _LN_EPS)
     y = y * ln_scale[:].astype(jnp.float32) + ln_bias[:].astype(jnp.float32)
 
-    # MLP on the MXU: [H*W, C] @ [C, 4C] -> GELU -> @ [4C, C]
+    # MLP on the MXU: [ipt*H*W, C] @ [C, 4C] -> GELU -> @ [4C, C]
     dtype = out_ref.dtype
-    y2 = y.reshape(h_out * w_out, c_pad).astype(dtype)
+    y2 = y.reshape(ipt * h_out * w_out, c_pad).astype(dtype)
     h = jnp.dot(y2, w1[:], preferred_element_type=jnp.float32)
     h = h + b1[:].astype(jnp.float32)
     h = (0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))).astype(dtype)
     o = jnp.dot(h, w2[:], preferred_element_type=jnp.float32)
     o = o + b2[:].astype(jnp.float32)
-    o = o.reshape(h_out, w_out, c_pad) * gamma[:].astype(jnp.float32)
+    o = o.reshape(ipt, h_out, w_out, c_pad) * gamma[:].astype(jnp.float32)
 
-    residual = cur[3:3 + h_out, 3:3 + w_out, :].astype(jnp.float32)
-    out_ref[0] = (residual + o).astype(dtype)
+    residual = cur[:, 3:3 + h_out, 3:3 + w_out, :].astype(jnp.float32)
+    out_ref[...] = (residual + o).astype(dtype)
 
 
 def _pad_last(arr: jax.Array, target: int, axis: int = -1) -> jax.Array:
@@ -114,6 +118,10 @@ def fused_convnext_block(x: jax.Array, p: Dict, interpret: bool = False) -> jax.
     n, h, w, c = x.shape
     c_pad = -(-c // 128) * 128               # lane alignment for the slab DMA
     w_pad_total = (-(w + 6) % 8) + 6         # sublane alignment (left pad 3)
+    # small feature maps batch several images per grid step
+    ipt = 1 if h >= 28 else (4 if h == 14 else 8)
+    while n % ipt:
+        ipt //= 2
     x_pad = jnp.pad(x, ((0, 0), (3, 3), (3, w_pad_total - 3), (0, c_pad - c)))
     hidden = p["mlp"]["fc1"]["kernel"].shape[1]
 
@@ -131,17 +139,18 @@ def fused_convnext_block(x: jax.Array, p: Dict, interpret: bool = False) -> jax.
         _pad_last(p["gamma"], c_pad),
     )
 
-    kernel = functools.partial(_block_kernel, h_out=h, w_out=w, c_real=c)
+    kernel = functools.partial(_block_kernel, h_out=h, w_out=w, c_real=c,
+                               ipt=ipt)
     out = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // ipt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-        out_specs=pl.BlockSpec((1, h, w, c_pad), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((ipt, h, w, c_pad), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c_pad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, h + 6, w + w_pad_total, c_pad), x.dtype),
+            pltpu.VMEM((2, ipt, h + 6, w + w_pad_total, c_pad), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
