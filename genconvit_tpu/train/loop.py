@@ -16,7 +16,6 @@ import logging
 import os
 import pickle
 import time
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

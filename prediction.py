@@ -12,7 +12,6 @@ Extensions: --net, --face-backend, --weights-dir, --json-dir, --result-dir,
 """
 
 import argparse
-import json
 import logging
 import os
 import time
