@@ -42,6 +42,7 @@ def gen_parser() -> argparse.Namespace:
     p.add_argument("--use-residual", action="store_true", help="ignored (B12)")
     p.add_argument("--net", choices=["ed", "vae", "genconvit"], default="genconvit")
     p.add_argument("--face-backend", default=None)
+    p.add_argument("--transfer-format", choices=["rgb", "yuv420"], default="rgb")
     p.add_argument("--weights-dir", default="weight")
     p.add_argument("--json-dir", default="json_file")
     p.add_argument("--result-dir", default="result")
@@ -59,7 +60,8 @@ def main():
 
     predictor = Predictor(config, net=args.net, ed_weight=args.e,
                           vae_weight=args.v, fp16=bool(args.fp16),
-                          face_backend=args.face_backend)
+                          face_backend=args.face_backend,
+                          transfer_format=args.transfer_format)
 
     dataset = args.d if args.d in WALKERS else "other"
     if dataset == "other":

@@ -167,3 +167,13 @@ def test_swiglu_head_option(small_cfg):
     logits, _ = ed_apply(params, x)
     assert logits.shape == (2, 2)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_large_variant_shapes():
+    """convnext_large + swin_large configs initialize and forward (the --s
+    large CLI path, ref prediction.py:314-318)."""
+    from genconvit_tpu.models.convnext import convnext_apply, init_convnext
+    params = init_convnext(jax.random.PRNGKey(0), "convnext_large")
+    out = convnext_apply(params, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 1000)
