@@ -1,0 +1,77 @@
+"""Serving endpoint: spin up the threaded server on a free port and drive it
+through real HTTP."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from genconvit_tpu.config import Config
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from http.server import ThreadingHTTPServer
+
+    from genconvit_tpu.infer.engine import Predictor
+    from serve import make_handler
+
+    cfg = Config()
+    cfg.img_size = 64
+    cfg.model.latent_dims = cfg.derived_latent_dims()
+    cfg.weight_dir = "/nonexistent"
+    predictor = Predictor(cfg, net="ed", face_backend="fullframe")
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(predictor, 3))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _video_bytes(tmp_path_factory) -> bytes:
+    import cv2
+
+    path = str(tmp_path_factory.mktemp("srv") / "c.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12, (64, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        vw.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    vw.release()
+    return open(path, "rb").read()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        assert json.load(r)["status"] == "ok"
+
+
+def test_predict_roundtrip(server, tmp_path_factory):
+    data = _video_bytes(tmp_path_factory)
+    req = urllib.request.Request(server + "/predict", data=data, method="POST")
+    with urllib.request.urlopen(req) as r:
+        out = json.load(r)
+    assert out["pred_label"] in ("REAL", "FAKE")
+    assert 0.0 <= out["pred"] <= 1.0
+    assert out["faces_found"] > 0
+
+
+def test_predict_garbage_body(server):
+    req = urllib.request.Request(server + "/predict", data=b"not a video",
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+            # zero faces -> default verdict is also acceptable
+            assert out["pred"] == 0.5
+    except urllib.error.HTTPError as e:
+        assert e.code == 500  # clean JSON error, not a crashed server
+
+
+def test_unknown_path(server):
+    try:
+        urllib.request.urlopen(server + "/nope")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
