@@ -83,16 +83,7 @@ def init_convnext(key: jax.Array, name: str = "convnext_tiny", num_classes: int 
     return params
 
 
-def _block(p: Dict, x: jax.Array) -> jax.Array:
-    # Fused Pallas path for the large early stages (H >= 28) on TPU: one
-    # kernel per block instead of 5+ HBM round trips (ops/pallas/convnext_block).
-    # Late stages are too small to amortize the kernel and stay on XLA.
-    from genconvit_tpu.ops.pallas import pallas_enabled
-
-    if pallas_enabled() and x.shape[1] >= 28 and x.shape[1] % 14 == 0:
-        from genconvit_tpu.ops.pallas.convnext_block import fused_convnext_block
-
-        return fused_convnext_block(x, p)
+def _block_xla(p: Dict, x: jax.Array) -> jax.Array:
     shortcut = x
     dim = x.shape[-1]
     x = conv2d(x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"], padding=3, groups=dim)
@@ -102,6 +93,43 @@ def _block(p: Dict, x: jax.Array) -> jax.Array:
     x = linear(x, p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"])
     x = x * p["gamma"].astype(x.dtype)
     return shortcut + x
+
+
+@jax.custom_vjp
+def _block_pallas_op(p: Dict, x: jax.Array) -> jax.Array:
+    from genconvit_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+    return fused_convnext_block(x, p)
+
+
+def _block_pallas_fwd(p, x):
+    return _block_pallas_op(p, x), (p, x)
+
+
+def _block_pallas_bwd(res, g):
+    # Backward = XLA autodiff of the reference graph (recomputes the forward,
+    # i.e. built-in rematerialization — training wraps blocks in remat anyway)
+    p, x = res
+    _, vjp = jax.vjp(_block_xla, p, x)
+    return vjp(g)
+
+
+_block_pallas_op.defvjp(_block_pallas_fwd, _block_pallas_bwd)
+
+
+def _block(p: Dict, x: jax.Array) -> jax.Array:
+    # Fused Pallas path for the large early stages (H >= 28) on TPU: one
+    # kernel per block instead of 5+ HBM round trips (ops/pallas/convnext_block),
+    # differentiable via the custom VJP above. Late stages are too small to
+    # amortize the kernel and stay on XLA.
+    from genconvit_tpu.ops.pallas import pallas_enabled
+
+    # bf16 only: the full-image slab + MLP panels exceed the 16MB VMEM budget
+    # in f32 (f32 flows fall back to XLA, including default-dtype training)
+    if (pallas_enabled() and x.dtype == jnp.bfloat16
+            and x.shape[1] >= 28 and x.shape[1] % 14 == 0):
+        return _block_pallas_op(p, x)
+    return _block_xla(p, x)
 
 
 def convnext_features(params: Dict, x: jax.Array) -> jax.Array:

@@ -39,11 +39,10 @@ def make_loss_fn(net: str, use_kl: bool = False, dtype=jnp.float32,
     — trades ~1/3 extra FLOPs for activation memory, which keeps 224x224
     batch-32 ensemble training inside a single chip's HBM."""
     def fwd(params, x, rng):
-        from genconvit_tpu.ops.pallas import pallas_disabled
-
-        with pallas_disabled():  # inference kernels have no VJP
-            return genconvit_apply(params, x, net=net, rng=rng,
-                                   sample=True, train=True)
+        # Pallas forward kernels are differentiable via custom VJPs
+        # (models/convnext._block_pallas_op), so training keeps them.
+        return genconvit_apply(params, x, net=net, rng=rng,
+                               sample=True, train=True)
 
     apply = jax.checkpoint(fwd) if remat else fwd
 

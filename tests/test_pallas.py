@@ -69,3 +69,53 @@ class TestWindowAttention:
         ref = self._ref(q, k, v, bias, mask, heads)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_block_grad_matches_xla(rng):
+    """custom-VJP gradients through the fused block must match pure-XLA
+    autodiff (interpret mode on CPU)."""
+    import os
+
+    from genconvit_tpu.models.convnext import _block_pallas_op, _block_xla
+
+    c, h = 128, 14
+    r = np.random.default_rng(1)
+    blk = {
+        "conv_dw": {"kernel": jnp.asarray(r.standard_normal((7, 7, 1, c), np.float32) * 0.1),
+                    "bias": jnp.asarray(r.standard_normal(c).astype(np.float32))},
+        "norm": {"scale": jnp.ones(c), "bias": jnp.zeros(c)},
+        "mlp": {"fc1": {"kernel": jnp.asarray(r.standard_normal((c, 4 * c), np.float32) * 0.05),
+                        "bias": jnp.zeros(4 * c)},
+                "fc2": {"kernel": jnp.asarray(r.standard_normal((4 * c, c), np.float32) * 0.05),
+                        "bias": jnp.zeros(c)}},
+        "gamma": jnp.full(c, 0.1),
+    }
+    x = jnp.asarray(r.standard_normal((2, h, h, c)).astype(np.float32))
+
+    def loss_pallas(p, x):
+        os.environ["GENCONVIT_PALLAS"] = "0"  # kernel call is explicit here
+        from genconvit_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+        return jnp.sum(jnp.square(fused_convnext_block(x, p, interpret=True)))
+
+    def loss_ref(p, x):
+        return jnp.sum(jnp.square(_block_xla(p, x)))
+
+    # grads of the custom-vjp op: forward interpret-pallas, backward XLA
+    from genconvit_tpu.models.convnext import _block_pallas_bwd
+
+    ref_val, ref_grads = jax.value_and_grad(loss_ref, argnums=(0, 1))(blk, x)
+    # custom op path: compute output via interpret kernel + bwd via vjp helper
+    out = None
+    from genconvit_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+    out = fused_convnext_block(x, blk, interpret=True)
+    g = 2.0 * out
+    gp, gx = _block_pallas_bwd((blk, x), g)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_grads[1]),
+                               rtol=2e-3, atol=2e-3)
+    for ka, kb in [("gamma", None), ("norm", "scale")]:
+        a = gp[ka] if kb is None else gp[ka][kb]
+        b = ref_grads[0][ka] if kb is None else ref_grads[0][ka][kb]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
