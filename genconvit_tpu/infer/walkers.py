@@ -55,9 +55,22 @@ class WalkState:
                      pred_label, y_val)
 
 
+def _process_shard(items: List) -> List:
+    """Multi-host dataset sharding: GENCONVIT_PROCESS_SHARD='i/n' (or the JAX
+    process index when initialized) round-robins the video list across hosts
+    (SURVEY.md §2.4 — each host decodes/detects locally; merge the result
+    JSONs afterwards or gather via parallel/eval_shard)."""
+    spec = os.environ.get("GENCONVIT_PROCESS_SHARD")
+    if not spec:
+        return items
+    pi, pc = (int(v) for v in spec.split("/"))
+    return [it for idx, it in enumerate(items) if idx % pc == pi]
+
+
 def _predict_all(predictor: Predictor, items: List[Tuple[str, str, str, Optional[str]]],
                  num_frames: int, state: WalkState, workers: int = 8) -> WalkState:
     """items: (path, klass, correct_label, compression)."""
+    items = _process_shard(items)
     paths = [it[0] for it in items]
     outcomes = dict(predictor.predict_files(paths, num_frames, workers=workers))
     for path, klass, correct_label, compression in items:

@@ -87,3 +87,16 @@ def test_timit_walker_labels_everything_fake(tmp_path, predictor):
     assert state.count == 2
     # quirk B8: the walker labels everything FAKE
     assert state.result["video"]["correct_label"] == ["FAKE", "FAKE"]
+
+
+def test_process_shard_env(tmp_path, predictor, monkeypatch):
+    root = tmp_path / "shard"
+    names = [f"v{i}.mp4" for i in range(4)]
+    for n in names:
+        _write_video(str(root / n))
+    monkeypatch.setenv("GENCONVIT_PROCESS_SHARD", "0/2")
+    s0 = walkers.vids(predictor, str(root), 3, workers=2)
+    monkeypatch.setenv("GENCONVIT_PROCESS_SHARD", "1/2")
+    s1 = walkers.vids(predictor, str(root), 3, workers=2)
+    assert s0.count == 2 and s1.count == 2
+    assert sorted(s0.result["video"]["name"] + s1.result["video"]["name"]) == names
