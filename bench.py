@@ -62,7 +62,7 @@ def main():
     # V=32 consistently regresses on this chip (memory/transfer pressure);
     # 8-16 is the sweet spot.
     batch_sizes = [int(v) for v in os.environ.get(
-        "GENCONVIT_BENCH_BATCHES", "8,16").split(",")]
+        "GENCONVIT_BENCH_BATCHES", "8").split(",")]
     trials = int(os.environ.get("GENCONVIT_BENCH_TRIALS", "3"))
     for v_batch in batch_sizes:
         # distinct batches per iteration (the execution path may cache
