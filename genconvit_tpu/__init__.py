@@ -20,3 +20,23 @@ if _os.environ.get("GENCONVIT_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["GENCONVIT_PLATFORM"])
 
 from genconvit_tpu.config import Config, load_config  # noqa: F401
+
+_LAZY = {
+    "Predictor": ("genconvit_tpu.infer.engine", "Predictor"),
+    "train_model": ("genconvit_tpu.train.loop", "train_model"),
+    "init_genconvit": ("genconvit_tpu.models.genconvit", "init_genconvit"),
+    "genconvit_apply": ("genconvit_tpu.models.genconvit", "genconvit_apply"),
+    "convert_checkpoint": ("genconvit_tpu.core.convert", "convert_checkpoint"),
+    "save_checkpoint": ("genconvit_tpu.core.checkpoint", "save_checkpoint"),
+    "load_params": ("genconvit_tpu.core.checkpoint", "load_params"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import genconvit_tpu` light)."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'genconvit_tpu' has no attribute {name!r}")

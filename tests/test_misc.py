@@ -91,3 +91,36 @@ def test_stage_timers_threadsafe():
     with cf.ThreadPoolExecutor(4) as ex:
         list(ex.map(lambda _: work(), range(4)))
     assert t.summary()["x"]["count"] == 200  # 4 workers x 50
+
+
+def test_top_level_lazy_api():
+    import genconvit_tpu as g
+
+    assert callable(g.Predictor)
+    assert callable(g.train_model)
+    assert callable(g.convert_checkpoint)
+    with pytest.raises(AttributeError):
+        g.nonexistent_symbol
+
+
+def test_config_env_var(tmp_path, monkeypatch):
+    p = tmp_path / "c.yaml"
+    p.write_text("img_size: 96\n")
+    monkeypatch.setenv("GENCONVIT_CONFIG", str(p))
+    from genconvit_tpu.config import load_config
+
+    assert load_config().img_size == 96
+
+
+def test_metrics_single_class_no_crash(tmp_path):
+    import json
+
+    from genconvit_tpu.evalx.metrics import load_result, result_metrics
+
+    result = {"video": {"name": ["a"], "pred": [0.9], "klass": ["x"],
+                        "pred_label": ["FAKE"], "correct_label": ["FAKE"]}}
+    p = tmp_path / "r.json"
+    p.write_text(json.dumps(result))
+    m = result_metrics(load_result(str(p)))
+    assert m["accuracy"] == 1.0
+    assert "roc_auc" not in m  # undefined with one class; no crash
