@@ -80,11 +80,26 @@ def open_video(path: str, prefer_native: bool = True):
     return CV2VideoReader(path)
 
 
+def _maybe_inject_fault(path: str) -> None:
+    """Fault injection for resilience testing: GENCONVIT_FAULT_INJECT=<p>
+    makes a fraction p of decodes raise, exercising the per-video tolerance
+    path (SURVEY.md §5 failure-detection row). Deterministic per path."""
+    spec = os.environ.get("GENCONVIT_FAULT_INJECT")
+    if not spec:
+        return
+    import hashlib
+
+    h = int(hashlib.md5(path.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+    if h < float(spec):
+        raise IOError(f"injected decode fault: {path}")
+
+
 def extract_frames(path: str, num_frames: int = 15,
                    prefer_native: bool = True) -> np.ndarray:
     """Decode the reference's evenly-stepped frame subset. RGB uint8 [F,H,W,3]."""
     from genconvit_tpu.data.frames import sample_frame_indices
 
+    _maybe_inject_fault(path)
     reader = open_video(path, prefer_native)
     try:
         idx = sample_frame_indices(len(reader), num_frames)

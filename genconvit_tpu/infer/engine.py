@@ -181,6 +181,9 @@ class Predictor:
 
         Fullframe + native decoder fast path: swscale decodes straight to the
         model size (fused decode+resize in C++), skipping detect/crop."""
+        from genconvit_tpu.data.video import _maybe_inject_fault
+
+        _maybe_inject_fault(video_path)
         if isinstance(self.detector, FullFrameDetector) and self.prefer_native_decode:
             try:
                 from genconvit_tpu.data.native import NativeVideoReader, native_available
@@ -252,7 +255,9 @@ class Predictor:
         from genconvit_tpu.data.frames import sample_frame_indices
         from genconvit_tpu.data.native import NativeVideoReader
         from genconvit_tpu.data.preprocess import yuv_matrix
+        from genconvit_tpu.data.video import _maybe_inject_fault
 
+        _maybe_inject_fault(video_path)
         s = self.config.img_size
         with self.timers.stage("decode"):
             r = NativeVideoReader(video_path, out_size=(s, s))

@@ -100,3 +100,16 @@ def test_process_shard_env(tmp_path, predictor, monkeypatch):
     s1 = walkers.vids(predictor, str(root), 3, workers=2)
     assert s0.count == 2 and s1.count == 2
     assert sorted(s0.result["video"]["name"] + s1.result["video"]["name"]) == names
+
+
+def test_fault_injection_resilience(tmp_path, predictor, monkeypatch):
+    """With decode faults injected, the walk completes and faulted videos get
+    the reference's (0, 0.5) default verdict."""
+    root = tmp_path / "faulty"
+    names = [f"v{i}.mp4" for i in range(4)]
+    for n in names:
+        _write_video(str(root / n))
+    monkeypatch.setenv("GENCONVIT_FAULT_INJECT", "1.0")  # every decode fails
+    state = walkers.vids(predictor, str(root), 3, workers=2)
+    assert state.count == 4
+    assert state.result["video"]["pred"] == [0.5] * 4
