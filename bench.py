@@ -63,7 +63,7 @@ def main():
     # 8-16 is the sweet spot.
     batch_sizes = [int(v) for v in os.environ.get(
         "GENCONVIT_BENCH_BATCHES", "8").split(",")]
-    trials = int(os.environ.get("GENCONVIT_BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("GENCONVIT_BENCH_TRIALS", "4"))
     for v_batch in batch_sizes:
         # distinct batches per iteration (the execution path may cache
         # identical requests) and sync fetch per call (honest round trip)
