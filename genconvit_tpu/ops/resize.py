@@ -94,6 +94,35 @@ def resize_area(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     return _apply_separable(x, wh, ww)
 
 
+def crop_resize_weights(in_size: int, lo: float, hi: float,
+                        out_size: int) -> np.ndarray:
+    """Area-average weights [in_size, out_size] for resampling the span
+    [lo, hi) of an axis to out_size — crop+INTER_AREA-resize as ONE matmul.
+    With per-face (lo, hi) computed on the host, a batch of crops becomes two
+    batched matmuls on the device (the §2.3 on-device crop+resize stage)."""
+    s = (hi - lo) / out_size
+    w = np.zeros((in_size, out_size), dtype=np.float32)
+    if s <= 0:
+        return w
+    for o in range(out_size):
+        a, b = lo + o * s, lo + (o + 1) * s
+        i0 = max(int(np.floor(a)), 0)
+        i1 = min(int(np.ceil(b)), in_size)
+        for i in range(i0, i1):
+            w[i, o] = max(0.0, (min(b, i + 1) - max(a, i))) / s
+    return w
+
+
+def crop_resize_batch(frames: jax.Array, wh: jax.Array, ww: jax.Array) -> jax.Array:
+    """Device-side batched crop+resize: frames [F,H,W,C] (uint8/float),
+    wh [F,H,OH], ww [F,W,OW] (per-frame crop_resize_weights). Returns float
+    [F,OH,OW,C] — two batched matmuls, MXU-friendly."""
+    dtype = frames.dtype if jnp.issubdtype(frames.dtype, jnp.floating) else jnp.float32
+    x = frames.astype(dtype)
+    y = jnp.einsum("fhwc,fhH->fHwc", x, wh.astype(dtype))
+    return jnp.einsum("fHwc,fwW->fHWc", y, ww.astype(dtype))
+
+
 def resize_bilinear_torch(x: jax.Array, out_hw: Tuple[int, int], antialias: bool = True) -> jax.Array:
     """torchvision transforms.Resize((H,W), antialias=True) equivalent
     (used on the VAE reconstruction, ref: model/genconvit_vae.py:105,115)."""

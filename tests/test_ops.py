@@ -166,3 +166,30 @@ class TestResize:
                             align_corners=False, antialias=True).numpy()
         out = ops.resize_bilinear_torch(jnp.asarray(_nhwc(img)), (96, 96))
         np.testing.assert_allclose(np.asarray(out), _nhwc(ref), rtol=1e-3, atol=1e-4)
+
+
+class TestCropResize:
+    def test_device_crop_resize_matches_cv2(self, rng):
+        """Per-face weight-matrix crop+resize on device vs host cv2 crop +
+        INTER_AREA (the reference's face-crop op, model/pred_func.py:82-84)."""
+        import cv2
+
+        from genconvit_tpu.ops.resize import crop_resize_batch, crop_resize_weights
+
+        frames = (rng.random((2, 120, 160, 3)) * 255).astype(np.uint8)
+        boxes = [(10, 150, 110, 30), (0, 160, 120, 0)]  # (t, r, b, l)
+        out = 48
+        wh = np.stack([crop_resize_weights(120, t, b, out) for (t, r, b, l) in boxes])
+        ww = np.stack([crop_resize_weights(160, l, r, out) for (t, r, b, l) in boxes])
+        dev = np.asarray(crop_resize_batch(jnp.asarray(frames),
+                                           jnp.asarray(wh), jnp.asarray(ww)))
+        for i, (t, r, b, l) in enumerate(boxes):
+            ref = cv2.resize(frames[i, t:b, l:r], (out, out),
+                             interpolation=cv2.INTER_AREA).astype(np.float32)
+            assert np.abs(dev[i] - ref).max() <= 1.0  # cv2 fixed-point LSB
+
+    def test_degenerate_box_gives_zeros(self):
+        from genconvit_tpu.ops.resize import crop_resize_weights
+
+        w = crop_resize_weights(100, 50, 50, 16)  # empty span
+        assert w.sum() == 0.0
