@@ -281,9 +281,8 @@ class Predictor:
                           workers: int = 8, video_batch: int = 16,
                           ) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
         """Fullframe low-H2D driver: native YUV420 decode at model size ->
-        grouped [V,F,...] plane batches -> fused device conversion+forward.
-        Per-video coefficient matrices are averaged per group (mixed 601/709
-        groups are rare; exactness there needs per-video matrices [V,3,3])."""
+        grouped [V,F,...] plane batches -> fused device conversion+forward
+        with per-video colorspace matrices (mixed 601/709 groups are exact)."""
         ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
         fn = self._forward_fn_yuv(num_frames)
         pending: List[Tuple[str, Any]] = []
@@ -301,10 +300,10 @@ class Predictor:
             yb = np.stack([it[0] for it in items])
             ub = np.stack([it[1] for it in items])
             vb = np.stack([it[2] for it in items])
-            matrix = np.mean([it[3] for it in items[:len(names)]], axis=0)
+            matrix = np.stack([it[3] for it in items]).astype(np.float32)
             masks = np.stack([it[4] for it in items])
             y, y_val = fn(self.params, jax.device_put(yb), jax.device_put(ub),
-                          jax.device_put(vb), jax.device_put(matrix.astype(np.float32)),
+                          jax.device_put(vb), jax.device_put(matrix),
                           jax.device_put(masks), self._next_rng())
             in_flight.append((names, y, y_val))
             pending.clear()
@@ -430,6 +429,8 @@ class Predictor:
 
         def fn(params, yp, up, vp, matrix, mask, rng):
             v, f, hh, ww = yp.shape
+            if matrix.ndim == 3:  # per-video coefficients [V,3,3] -> per frame
+                matrix = jnp.repeat(matrix, f, axis=0)
             x = normalize_yuv420(yp.reshape(v * f, hh, ww),
                                  up.reshape(v * f, hh // 2, ww // 2),
                                  vp.reshape(v * f, hh // 2, ww // 2),
