@@ -99,14 +99,14 @@ def main():
     # YUV420 transfer path: half the H2D bytes, colorspace conversion fused
     # into the on-device normalize (the production fullframe pipeline ships
     # planar YUV straight from the FFmpeg decoder).
-    from genconvit_tpu.data.preprocess import yuv_matrix
+    from genconvit_tpu.data.preprocess import yuv_affine
 
     v_batch = int(os.environ.get("GENCONVIT_BENCH_YUV_BATCH", "16"))
     yb = [(
         (rng.integers(0, 255, (v_batch, FRAMES, IMG, IMG), np.uint8),
          rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8),
          rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8)),
-        yuv_matrix("bt709", False),
+        yuv_affine("bt709", False),
         np.ones((v_batch, FRAMES), np.float32),
     ) for _ in range(2)]
     t0 = time.perf_counter()

@@ -53,26 +53,47 @@ def yuv_matrix(space: str = "bt601", full_range: bool = False) -> np.ndarray:
     return _YUV_COEFFS[(space, full_range)]
 
 
+def yuv_affine(space: str = "bt601", full_range: bool = False) -> np.ndarray:
+    """[3,4] affine YUV->RGB transform: rgb = A[:, :3] @ [Y,U,V] + A[:, 3].
+
+    Folds the range offsets (Y-16 for limited range, U/V-128) into the
+    offset column so per-video transforms can encode *both* the colorspace
+    coefficients and the range — mixed full/limited-range video batches stay
+    exact through one batched [V,3,4] tensor."""
+    m = _YUV_COEFFS[(space, full_range)]
+    off = -m @ np.array([0.0 if full_range else 16.0, 128.0, 128.0], np.float32)
+    return np.concatenate([m, off[:, None]], axis=1)
+
+
 def yuv420_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array,
                   matrix: jax.Array, full_range: bool = False) -> jax.Array:
     """Device-side planar YUV420 -> RGB float (0..255 scale).
 
-    y: [N,H,W] uint8; u, v: [N,H/2,W/2] uint8; matrix: [3,3] (or [N,3,3] for
-    per-video coefficients). Chroma upsampled by nearest (2x2 repeat).
-    Shipping YUV420 halves the host->HBM payload vs RGB24 and moves the
-    colorspace math onto the VPU where it fuses into normalization.
+    y: [N,H,W] uint8; u, v: [N,H/2,W/2] uint8; matrix: [3,3] / [N,3,3]
+    coefficient matrices (offsets from `full_range`), or [3,4] / [N,3,4]
+    affine transforms from `yuv_affine` (offsets folded in, per-video range
+    exact). Chroma upsampled by nearest (2x2 repeat). Shipping YUV420 halves
+    the host->HBM payload vs RGB24 and moves the colorspace math onto the
+    VPU where it fuses into normalization.
     """
     n, h, w = y.shape
-    yf = y.astype(jnp.float32) - (0.0 if full_range else 16.0)
-    uf = u.astype(jnp.float32) - 128.0
-    vf = v.astype(jnp.float32) - 128.0
+    affine = matrix.shape[-1] == 4
+    yf = y.astype(jnp.float32) - (0.0 if (affine or full_range) else 16.0)
+    uf = u.astype(jnp.float32) - (0.0 if affine else 128.0)
+    vf = v.astype(jnp.float32) - (0.0 if affine else 128.0)
     uf = jnp.repeat(jnp.repeat(uf, 2, axis=1), 2, axis=2)[:, :h, :w]
     vf = jnp.repeat(jnp.repeat(vf, 2, axis=1), 2, axis=2)[:, :h, :w]
     yuv = jnp.stack([yf, uf, vf], axis=-1)  # [N,H,W,3]
+    matrix = matrix.astype(jnp.float32)
+    coeffs = matrix[..., :3]
     if matrix.ndim == 2:
-        rgb = jnp.einsum("nhwc,rc->nhwr", yuv, matrix.astype(jnp.float32))
+        rgb = jnp.einsum("nhwc,rc->nhwr", yuv, coeffs)
+        if affine:
+            rgb = rgb + matrix[:, 3]
     else:
-        rgb = jnp.einsum("nhwc,nrc->nhwr", yuv, matrix.astype(jnp.float32))
+        rgb = jnp.einsum("nhwc,nrc->nhwr", yuv, coeffs)
+        if affine:
+            rgb = rgb + matrix[:, :, 3][:, None, None, :]
     return jnp.clip(rgb, 0.0, 255.0)
 
 

@@ -21,11 +21,19 @@ def load_result(path: str) -> Dict[str, Any]:
 
 
 def result_vectors(result: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(y_true, y_pred, scores) with FAKE == 1."""
+    """(y_true, y_pred, scores) with FAKE == 1. Rows whose correct_label is
+    not REAL/FAKE (e.g. 'unknown' from videos without ground truth, such as
+    DFDC directories missing metadata.json) are excluded — counting them as
+    REAL would pollute accuracy/F1/AUC. The excluded count is surfaced by
+    result_metrics as n_excluded."""
     video = result["video"]
-    y_true = np.array([1 if c == "FAKE" else 0 for c in video["correct_label"]])
-    y_pred = np.array([1 if p == "FAKE" else 0 for p in video["pred_label"]])
-    scores = np.array(video["pred"], dtype=np.float64)
+    keep = [i for i, c in enumerate(video["correct_label"])
+            if c in ("REAL", "FAKE")]
+    y_true = np.array([1 if video["correct_label"][i] == "FAKE" else 0
+                       for i in keep])
+    y_pred = np.array([1 if video["pred_label"][i] == "FAKE" else 0
+                       for i in keep])
+    scores = np.array([video["pred"][i] for i in keep], dtype=np.float64)
     return y_true, y_pred, scores
 
 
@@ -34,10 +42,12 @@ def result_metrics(result: Dict[str, Any]) -> Dict[str, float]:
 
     y_true, y_pred, scores = result_vectors(result)
     n = len(y_true)
+    n_total = len(result["video"]["correct_label"])
     real_mask = y_true == 0
     fake_mask = y_true == 1
     out: Dict[str, float] = {
         "n": int(n),
+        "n_excluded": int(n_total - n),
         "n_real": int(real_mask.sum()),
         "n_fake": int(fake_mask.sum()),
         "accuracy": float((y_true == y_pred).mean()) if n else float("nan"),

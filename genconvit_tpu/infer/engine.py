@@ -250,11 +250,13 @@ class Predictor:
         return self.predict_faces(faces, num_frames)
 
     def _extract_yuv(self, video_path: str, num_frames: int):
-        """Fullframe YUV420 extraction: (y [F,S,S], u, v [F,S/2,S/2], matrix
-        [3,3], mask [F]) — half the H2D bytes of RGB."""
+        """Fullframe YUV420 extraction: (y [F,S,S], u, v [F,S/2,S/2], affine
+        [3,4], mask [F]) — half the H2D bytes of RGB. The per-video [3,4]
+        affine carries both colorspace coefficients and range offsets, so
+        mixed 601/709 and mixed full/limited-range batches stay exact."""
         from genconvit_tpu.data.frames import sample_frame_indices
         from genconvit_tpu.data.native import NativeVideoReader
-        from genconvit_tpu.data.preprocess import yuv_matrix
+        from genconvit_tpu.data.preprocess import yuv_affine
         from genconvit_tpu.data.video import _maybe_inject_fault
 
         _maybe_inject_fault(video_path)
@@ -275,7 +277,7 @@ class Predictor:
         yb[:k], ub[:k], vb[:k] = y[:f], u[:f], v[:f]
         mask = np.zeros((f,), np.float32)
         mask[: min(k, f)] = 1.0
-        return yb, ub, vb, yuv_matrix(space, full), mask
+        return yb, ub, vb, yuv_affine(space, full), mask
 
     def predict_files_yuv(self, paths: Sequence[str], num_frames: int = 15,
                           workers: int = 8, video_batch: int = 16,
@@ -429,7 +431,7 @@ class Predictor:
 
         def fn(params, yp, up, vp, matrix, mask, rng):
             v, f, hh, ww = yp.shape
-            if matrix.ndim == 3:  # per-video coefficients [V,3,3] -> per frame
+            if matrix.ndim == 3:  # per-video transforms [V,3,3|4] -> per frame
                 matrix = jnp.repeat(matrix, f, axis=0)
             x = normalize_yuv420(yp.reshape(v * f, hh, ww),
                                  up.reshape(v * f, hh // 2, ww // 2),

@@ -48,8 +48,11 @@ class WalkState:
             self.y_pred.append(1 if pred_label == "FAKE" else 0)
             if correct_label == pred_label:
                 self.correct += 1
+            # running accuracy over LABELED videos only — unlabeled rows must
+            # not inflate the denominator
             log.info("%d %s: %s %.4f  [%s]  %d/%d", self.count, os.path.basename(path),
-                     pred_label, y_val, correct_label, self.correct, self.count)
+                     pred_label, y_val, correct_label, self.correct,
+                     len(self.y_true))
         else:
             log.info("%d %s: %s %.4f", self.count, os.path.basename(path),
                      pred_label, y_val)

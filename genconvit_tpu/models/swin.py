@@ -45,14 +45,18 @@ _LN_EPS = 1e-5  # torch nn.LayerNorm default used by Swin
 
 
 @functools.lru_cache(maxsize=32)
-def relative_position_index(window: int) -> np.ndarray:
-    """The [w*w, w*w] index buffer into the (2w-1)^2 bias table (deterministic;
-    stored as a buffer in torch checkpoints — recomputed here, not converted)."""
+def relative_position_index(window: int, table_window: int | None = None) -> np.ndarray:
+    """The [w*w, w*w] index buffer into the (2*tw-1)^2 bias table
+    (deterministic; stored as a buffer in torch checkpoints — recomputed
+    here, not converted). `table_window` covers the clamped-window case
+    (window < table geometry): relative coords from `window` index the
+    centered entries of the larger table."""
+    tw = table_window or window
     coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
     flat = coords.reshape(2, -1)
     rel = flat[:, :, None] - flat[:, None, :]  # [2, L, L]
-    rel = rel.transpose(1, 2, 0) + (window - 1)
-    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+    rel = rel.transpose(1, 2, 0) + (tw - 1)
+    return (rel[..., 0] * (2 * tw - 1) + rel[..., 1]).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=64)
@@ -142,7 +146,9 @@ def _window_attention(p: Dict, x: jax.Array, num_heads: int, window: int,
     qkv = linear(x, p["qkv"]["kernel"], p["qkv"]["bias"])
     qkv = qkv.reshape(b, l, 3, num_heads, head_dim).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # [B, nH, L, hd]
-    idx = jnp.asarray(relative_position_index(window).reshape(-1))
+    table_rows = p["relative_position_bias_table"].shape[0]
+    table_window = (int(round(table_rows ** 0.5)) + 1) // 2
+    idx = jnp.asarray(relative_position_index(window, table_window).reshape(-1))
     bias = jnp.take(p["relative_position_bias_table"], idx, axis=0)
     bias = bias.reshape(l, l, num_heads).transpose(2, 0, 1)
 
@@ -201,6 +207,9 @@ def _swin_block(p: Dict, x: jax.Array, hw: Tuple[int, int], num_heads: int,
 
 def _patch_merging(p: Dict, x: jax.Array, hw: Tuple[int, int]) -> Tuple[jax.Array, Tuple[int, int]]:
     h, w = hw
+    if h % 2 or w % 2:
+        # timm 0.6.5 PatchMerging asserts even resolutions; fail clearly.
+        raise ValueError(f"swin patch merging needs an even grid, got {h}x{w}")
     n, l, c = x.shape
     x = x.reshape(n, h, w, c)
     # torch cat order: x0=[0::2,0::2], x1=[1::2,0::2], x2=[0::2,1::2], x3=[1::2,1::2]
@@ -229,9 +238,20 @@ def swin_features(params: Dict, x: jax.Array,
     hw = (h, w)
     for li, layer in enumerate(params["layers"]):
         num_heads = cfg["num_heads"][li]
+        # timm clamps the block window to min(input_resolution) (and zeroes
+        # the shift) when the grid is smaller than the window; grids that are
+        # neither window-divisible nor <= window are unsupported in timm
+        # 0.6.5 too — fail loudly instead of crashing inside a reshape.
+        eff_window = min(window, min(hw))
+        if hw[0] % eff_window or hw[1] % eff_window:
+            raise ValueError(
+                f"swin_features: stage {li} grid {hw[0]}x{hw[1]} is not "
+                f"divisible by window {eff_window} (img_size must give "
+                f"window-divisible or <=window grids at every stage, as in "
+                f"timm 0.6.5)")
         for bi, blk in enumerate(layer["blocks"]):
-            shift = 0 if (bi % 2 == 0 or min(hw) <= window) else window // 2
-            x = _swin_block(blk, x, hw, num_heads, window, shift)
+            shift = 0 if (bi % 2 == 0 or min(hw) <= window) else eff_window // 2
+            x = _swin_block(blk, x, hw, num_heads, eff_window, shift)
         if "downsample" in layer:
             x, hw = _patch_merging(layer["downsample"], x, hw)
     return layer_norm(x, params["norm"]["scale"], params["norm"]["bias"], eps=_LN_EPS)

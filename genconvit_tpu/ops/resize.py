@@ -87,19 +87,64 @@ def _apply_separable(x: jax.Array, wh: jax.Array, ww: jax.Array) -> jax.Array:
 
 
 def resize_area(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """Batched INTER_AREA-equivalent resize. x: [N,H,W,C] (float or uint8),
-    returns float. Static shapes — one compile per (in, out) size pair."""
-    wh = jnp.asarray(_area_weights(x.shape[1], out_hw[0]))
-    ww = jnp.asarray(_area_weights(x.shape[2], out_hw[1]))
+    """Batched cv2.resize(..., INTER_AREA)-equivalent resize. x: [N,H,W,C]
+    (float or uint8), returns float. Static shapes — one compile per
+    (in, out) size pair. Mirrors cv2's silent fallback: the true area path
+    runs only when BOTH axes downscale; otherwise cv2 uses its 2-tap
+    area_mode coefficients on both axes."""
+    upscale = x.shape[1] < out_hw[0] or x.shape[2] < out_hw[1]
+    mk = (lambda i, o: _crop_area_fallback_weights(i, 0.0, float(i), o)) \
+        if upscale else _area_weights
+    wh = jnp.asarray(mk(x.shape[1], out_hw[0]))
+    ww = jnp.asarray(mk(x.shape[2], out_hw[1]))
     return _apply_separable(x, wh, ww)
 
 
-def crop_resize_weights(in_size: int, lo: float, hi: float,
-                        out_size: int) -> np.ndarray:
-    """Area-average weights [in_size, out_size] for resampling the span
-    [lo, hi) of an axis to out_size — crop+INTER_AREA-resize as ONE matmul.
-    With per-face (lo, hi) computed on the host, a batch of crops becomes two
-    batched matmuls on the device (the §2.3 on-device crop+resize stage)."""
+def _crop_area_fallback_weights(in_size: int, lo: float, hi: float,
+                                out_size: int) -> np.ndarray:
+    """cv2's INTER_AREA generic-path coefficients (resize.cpp `area_mode`):
+    the 2-tap scheme cv2 uses for BOTH axes whenever either axis upscales —
+    sx = floor(dx*scale), fx = (dx+1) - (sx+1)/scale, taps (1-fx, fx) at
+    (sx, sx+1), clamped at the crop edges. NOT the (dx+0.5)*scale-0.5
+    bilinear mapping."""
+    span = hi - lo
+    w = np.zeros((in_size, out_size), dtype=np.float32)
+    if span <= 0:
+        return w
+    scale = span / out_size
+    inv_scale = out_size / span
+    crop_last = max(int(np.ceil(span)) - 1, 0)  # last index within the crop
+    base = max(int(np.floor(lo)), 0)
+    for o in range(out_size):
+        sx = int(np.floor(o * scale))
+        fx = (o + 1) - (sx + 1) * inv_scale
+        fx = 0.0 if fx <= 0 else fx - np.floor(fx)
+        if sx < 0:
+            sx, fx = 0, 0.0
+        if sx >= crop_last:
+            sx, fx = crop_last, 0.0
+        a = min(base + sx, in_size - 1)
+        b = min(base + sx + 1, in_size - 1)
+        w[a, o] += 1.0 - fx
+        w[b, o] += fx
+    return w
+
+
+def crop_resize_weights(in_size: int, lo: float, hi: float, out_size: int,
+                        force_bilinear: bool = False) -> np.ndarray:
+    """Weights [in_size, out_size] resampling the span [lo, hi) of an axis to
+    out_size — crop+cv2.resize(INTER_AREA) as ONE matmul. With per-face
+    (lo, hi) computed on the host, a batch of crops becomes two batched
+    matmuls on the device (the §2.3 on-device crop+resize stage).
+
+    cv2's INTER_AREA silently falls back to a 2-tap scheme when upscaling —
+    the common case of a detected face smaller than the model size — so
+    spans shorter than out_size get cv2's area_mode fallback weights. cv2
+    applies the fallback to BOTH axes when either upscales; pass
+    force_bilinear=True for the other axis of such a crop (or use
+    crop_resize_weights_pair which handles the coupling)."""
+    if force_bilinear or (hi - lo) < out_size:
+        return _crop_area_fallback_weights(in_size, lo, hi, out_size)
     s = (hi - lo) / out_size
     w = np.zeros((in_size, out_size), dtype=np.float32)
     if s <= 0:
@@ -111,6 +156,17 @@ def crop_resize_weights(in_size: int, lo: float, hi: float,
         for i in range(i0, i1):
             w[i, o] = max(0.0, (min(b, i + 1) - max(a, i))) / s
     return w
+
+
+def crop_resize_weights_pair(
+        h: int, w: int, box: Tuple[float, float, float, float],
+        out_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(wh [h, out], ww [w, out]) for one (top, right, bottom, left) box,
+    with cv2's coupled-axis INTER_AREA->bilinear fallback handled."""
+    top, right, bottom, left = box
+    bilinear = (bottom - top) < out_size or (right - left) < out_size
+    return (crop_resize_weights(h, top, bottom, out_size, bilinear),
+            crop_resize_weights(w, left, right, out_size, bilinear))
 
 
 def crop_resize_batch(frames: jax.Array, wh: jax.Array, ww: jax.Array) -> jax.Array:

@@ -17,6 +17,7 @@
 //
 // Build: make -C native   (links libavformat/avcodec/avutil/swscale)
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -291,7 +292,10 @@ int gcv_decode_videos(const char** paths, int n_videos, int frames_per_video,
       (size_t)frames_per_video * out_h * out_w * 3;
   std::vector<std::thread> pool;
   std::atomic<int> next{0};
-  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  // hardware_concurrency() may legally return 0 — clamp to >= 1 so the
+  // pool always spawns at least one worker (0 workers = silent no-op).
+  if (n_threads <= 0)
+    n_threads = std::max(1, (int)std::thread::hardware_concurrency());
   if (n_threads > n_videos) n_threads = n_videos;
   auto worker = [&]() {
     for (;;) {

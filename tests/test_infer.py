@@ -68,13 +68,24 @@ class TestAggregation:
 
 class TestFaceBudget:
     def test_multi_face_frames_consume_slots(self):
-        frames = np.full((3, 64, 64, 3), 128, np.uint8)
+        """Quirk B7 (ref model/pred_func.py:78-90): every face in every frame
+        consumes a budget slot, in frame-then-box order — so a multi-face
+        frame can starve later frames. Frames/regions carry distinct values
+        so the test asserts WHICH crops landed, not just the shape."""
+        frames = np.zeros((3, 64, 64, 3), np.uint8)
+        frames[0, :32, :32] = 10   # f0 face 1: top-left quadrant
+        frames[0, 32:, 32:] = 20   # f0 face 2: bottom-right quadrant
+        frames[1] = 30
+        frames[2] = 40
         boxes = [[(0, 32, 32, 0), (32, 64, 64, 32)],  # 2 faces in frame 0
                  [(0, 64, 64, 0)],
                  [(0, 64, 64, 0)]]
         faces = crop_faces(frames, boxes, budget=3, img_size=32)
-        assert faces.shape == (3, 32, 32, 3)  # frame 2's face lost to budget? no:
-        # budget 3: f0 gives 2, f1 gives 1 -> budget full, f2 dropped (quirk B7)
+        assert faces.shape == (3, 32, 32, 3)
+        # budget 3: f0 contributes 2 slots, f1 one -> f2's face (40) dropped
+        np.testing.assert_array_equal(faces[0], 10)
+        np.testing.assert_array_equal(faces[1], 20)
+        np.testing.assert_array_equal(faces[2], 30)
 
     def test_zero_faces(self):
         frames = np.zeros((2, 32, 32, 3), np.uint8)
@@ -123,14 +134,25 @@ class TestEngine:
         assert y in (0, 1)
         assert 0.0 <= y_val <= 1.0
 
-    def test_mask_invariance_across_face_counts(self, small_predictor, rng):
-        """3 real faces padded to 5 must equal the same 3 faces padded to 5
-        with different garbage in the pad slots."""
+    def test_mask_invariance_across_pad_garbage(self, small_predictor, rng):
+        """The pad-slot contents must not affect the masked aggregation: the
+        same 3 real faces with zero pads vs saturated-garbage pads, under the
+        SAME rng key, must give identical (y, y_val)."""
+        import jax
+
         faces = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
-        pred_a = small_predictor.predict_faces(faces, num_frames=5)
-        pred_b = small_predictor.predict_faces(faces, num_frames=5)
-        # stochastic VAE: reseed so rngs differ; compare y only
-        assert pred_a[0] == pred_b[0]
+        batch_a = np.zeros((5, 64, 64, 3), np.uint8)
+        batch_b = np.full((5, 64, 64, 3), 255, np.uint8)
+        batch_a[:3] = batch_b[:3] = faces
+        mask = np.array([1, 1, 1, 0, 0], np.float32)
+        fn = small_predictor._forward_fn(5, batched=False)
+        key = jax.random.PRNGKey(7)
+        y_a, v_a = fn(small_predictor.params, jnp.asarray(batch_a),
+                      jnp.asarray(mask), key)
+        y_b, v_b = fn(small_predictor.params, jnp.asarray(batch_b),
+                      jnp.asarray(mask), key)
+        assert int(y_a) == int(y_b)
+        np.testing.assert_allclose(float(v_a), float(v_b), rtol=1e-6, atol=1e-7)
 
     def test_zero_faces_default_verdict(self, small_predictor):
         y, y_val = small_predictor.predict_faces(

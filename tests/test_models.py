@@ -120,6 +120,28 @@ def test_swin_full_forward_shapes():
     assert out.shape == (1, 1000)
 
 
+def test_swin_unsupported_sizes_raise_clearly():
+    """Grids that are neither window-divisible nor <= window (or odd at a
+    patch-merge) crash timm 0.6.5 inside reshapes; we fail loudly instead."""
+    from genconvit_tpu.models.swin import init_swin, swin_features
+    params = init_swin(jax.random.PRNGKey(0), "swin_tiny_patch4_window7_224")
+    with pytest.raises(ValueError, match="not divisible"):
+        swin_features(params, jnp.zeros((1, 64, 64, 3)))  # grid 16 % 7 != 0
+    with pytest.raises(ValueError, match="even grid"):
+        swin_features(params, jnp.zeros((1, 112, 112, 3)))  # merge at 7x7
+
+
+def test_swin_clamped_window_bias_indexing():
+    """relative_position_index(w, table_w) for a clamped window must pick the
+    same table entries as the full-window index restricted to those coords."""
+    from genconvit_tpu.models.swin import relative_position_index
+    full = relative_position_index(7, 7)   # [49, 49]
+    small = relative_position_index(4, 7)  # [16, 16] into the SAME 13x13 table
+    # map 4x4 coords into the 7x7 flattening
+    pos = [r * 7 + c for r in range(4) for c in range(4)]
+    np.testing.assert_array_equal(small, full[np.ix_(pos, pos)])
+
+
 @pytest.fixture(scope="module")
 def small_cfg():
     cfg = Config()

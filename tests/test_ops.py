@@ -193,3 +193,27 @@ class TestCropResize:
 
         w = crop_resize_weights(100, 50, 50, 16)  # empty span
         assert w.sum() == 0.0
+
+    def test_upscale_crop_matches_cv2_bilinear_fallback(self, rng):
+        """A face smaller than the model size: cv2.resize INTER_AREA silently
+        falls back to bilinear on upscale — the device weights must too."""
+        import cv2
+
+        from genconvit_tpu.ops.resize import (crop_resize_batch,
+                                              crop_resize_weights_pair)
+
+        frames = (rng.random((3, 120, 160, 3)) * 255).astype(np.uint8)
+        out = 64
+        boxes = [(10, 60, 58, 12),   # 48x48 crop -> upscale both axes
+                 (0, 40, 30, 0),     # 30x40 -> strong upscale
+                 (20, 150, 100, 30)]  # 80x120: h upscales, w downscales
+        wh = np.stack([crop_resize_weights_pair(120, 160, bx, out)[0]
+                       for bx in boxes])
+        ww = np.stack([crop_resize_weights_pair(120, 160, bx, out)[1]
+                       for bx in boxes])
+        dev = np.asarray(crop_resize_batch(jnp.asarray(frames),
+                                           jnp.asarray(wh), jnp.asarray(ww)))
+        for i, (t, r, b, l) in enumerate(boxes):
+            ref = cv2.resize(frames[i, t:b, l:r], (out, out),
+                             interpolation=cv2.INTER_AREA).astype(np.float32)
+            assert np.abs(dev[i] - ref).max() <= 1.0  # cv2 fixed-point LSB

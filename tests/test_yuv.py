@@ -9,7 +9,44 @@ import jax.numpy as jnp
 
 from genconvit_tpu.config import Config
 from genconvit_tpu.data.preprocess import (normalize_batch, normalize_yuv420,
-                                           yuv420_to_rgb, yuv_matrix)
+                                           yuv420_to_rgb, yuv_affine,
+                                           yuv_matrix)
+
+
+def test_affine_matches_matrix_plus_flag(rng):
+    """yuv_affine folds the range offsets into the [3,4] offset column: the
+    affine path must match the [3,3]+full_range path bit-for-bit for every
+    (space, range) combination."""
+    y = (rng.random((2, 8, 8)) * 255).astype(np.uint8)
+    u = (rng.random((2, 4, 4)) * 255).astype(np.uint8)
+    v = (rng.random((2, 4, 4)) * 255).astype(np.uint8)
+    for space in ("bt601", "bt709"):
+        for full in (False, True):
+            ref = np.asarray(yuv420_to_rgb(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(yuv_matrix(space, full)), full_range=full))
+            out = np.asarray(yuv420_to_rgb(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(yuv_affine(space, full))))
+            np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_mixed_range_batch_per_video_affine(rng):
+    """A [N,3,4] batch mixing full- and limited-range videos must equal each
+    video converted with its own range flag — the case a [N,3,3] coefficient
+    batch cannot represent (the Y offset differs per video)."""
+    y = (rng.random((2, 8, 8)) * 255).astype(np.uint8)
+    u = (rng.random((2, 4, 4)) * 255).astype(np.uint8)
+    v = (rng.random((2, 4, 4)) * 255).astype(np.uint8)
+    affines = np.stack([yuv_affine("bt601", False), yuv_affine("bt709", True)])
+    out = np.asarray(yuv420_to_rgb(jnp.asarray(y), jnp.asarray(u),
+                                   jnp.asarray(v), jnp.asarray(affines)))
+    for i, (space, full) in enumerate((("bt601", False), ("bt709", True))):
+        ref = np.asarray(yuv420_to_rgb(
+            jnp.asarray(y[i:i + 1]), jnp.asarray(u[i:i + 1]),
+            jnp.asarray(v[i:i + 1]), jnp.asarray(yuv_matrix(space, full)),
+            full_range=full))
+        np.testing.assert_allclose(out[i], ref[0], atol=1e-3)
 
 
 def test_yuv_to_rgb_matches_cv2_bt601_full(rng):
