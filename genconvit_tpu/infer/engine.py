@@ -124,8 +124,12 @@ class Predictor:
 
     # ------------------------------------------------------------- forward
 
-    def _forward_fn(self, num_frames: int, batched: bool):
-        key = (num_frames, batched)
+    def _forward_fn(self, num_frames: int, batched: bool, stacked: bool = False):
+        """stacked=True returns one f32 [2,V] array (y, y_val rows) instead of
+        a tuple — streaming paths fetch ONE array per launch (each device->host
+        fetch is a full relay/PCIe round trip; two tiny fetches per launch
+        measurably throttle the stream)."""
+        key = (num_frames, batched, stacked)
         if key in self._jit_cache:
             return self._jit_cache[key]
         net = self.net
@@ -152,11 +156,23 @@ class Predictor:
             else:
                 per_video = logits.reshape(v, f, 2)
                 full_mask = mask
-            return jax.vmap(aggregate_logits)(per_video, full_mask)
+            y, y_val = jax.vmap(aggregate_logits)(per_video, full_mask)
+            if stacked:
+                return jnp.stack([y.astype(jnp.float32), y_val.astype(jnp.float32)])
+            return y, y_val
 
         fn = jax.jit(batched_fn if batched else single)
         self._jit_cache[key] = fn
         return fn
+
+    @staticmethod
+    def _fetch_stacked(outs) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Device [2,V] stacked verdicts -> host (y [V] int, y_val [V]) pairs
+        with ONE device->host fetch for the whole stream."""
+        if not outs:
+            return []
+        all_np = np.asarray(jnp.stack(outs))  # [B,2,V]
+        return [(row[0].astype(np.int64), row[1]) for row in all_np]
 
     def _next_rng(self) -> jax.Array:
         self._video_counter += 1
@@ -286,9 +302,10 @@ class Predictor:
         grouped [V,F,...] plane batches -> fused device conversion+forward
         with per-video colorspace matrices (mixed 601/709 groups are exact)."""
         ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
-        fn = self._forward_fn_yuv(num_frames)
+        fn = self._forward_fn_yuv(num_frames, stacked=True)
         pending: List[Tuple[str, Any]] = []
-        in_flight: List[Tuple[List[str], Any, Any]] = []
+        in_flight_names: List[List[str]] = []
+        in_flight: List[Any] = []
 
         def flush():
             if not pending:
@@ -304,10 +321,11 @@ class Predictor:
             vb = np.stack([it[2] for it in items])
             matrix = np.stack([it[3] for it in items]).astype(np.float32)
             masks = np.stack([it[4] for it in items])
-            y, y_val = fn(self.params, jax.device_put(yb), jax.device_put(ub),
-                          jax.device_put(vb), jax.device_put(matrix),
-                          jax.device_put(masks), self._next_rng())
-            in_flight.append((names, y, y_val))
+            out = fn(self.params, jax.device_put(yb), jax.device_put(ub),
+                     jax.device_put(vb), jax.device_put(matrix),
+                     jax.device_put(masks), self._next_rng())
+            in_flight_names.append(names)
+            in_flight.append(out)
             pending.clear()
 
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
@@ -328,8 +346,8 @@ class Predictor:
                     flush()
         flush()
         with self.timers.stage("device_forward"):
-            for names, y, y_val in in_flight:
-                y, y_val = np.asarray(y), np.asarray(y_val)
+            for names, (y, y_val) in zip(in_flight_names,
+                                         self._fetch_stacked(in_flight)):
                 for i, p in enumerate(names):
                     ordered[p] = (int(y[i]), float(y_val[i]))
         return [(p, ordered[p]) for p in paths]
@@ -356,10 +374,12 @@ class Predictor:
         if not paths:
             return []
         s = self.config.img_size
-        fn = self._forward_fn(num_frames, batched=True) if len(paths) > 1 else None
+        fn = (self._forward_fn(num_frames, batched=True, stacked=True)
+              if len(paths) > 1 else None)
 
         pending: List[Tuple[str, np.ndarray, np.ndarray]] = []
-        in_flight: List[Tuple[List[str], Any, Any]] = []
+        in_flight_names: List[List[str]] = []
+        in_flight: List[Any] = []
 
         def flush():
             if not pending:
@@ -374,8 +394,9 @@ class Predictor:
                 masks = np.concatenate(
                     [masks, np.zeros((padn,) + masks.shape[1:], masks.dtype)])
             fd, md = jax.device_put(faces), jax.device_put(masks)
-            y, y_val = fn(self.params, fd, md, self._next_rng())
-            in_flight.append((names, y, y_val))  # async; sync at the end
+            out = fn(self.params, fd, md, self._next_rng())
+            in_flight_names.append(names)
+            in_flight.append(out)  # async; one fetch for all at the end
             pending.clear()
 
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
@@ -401,8 +422,8 @@ class Predictor:
         if fn is not None:
             flush()
         with self.timers.stage("device_forward"):
-            for names, y, y_val in in_flight:
-                y, y_val = np.asarray(y), np.asarray(y_val)
+            for names, (y, y_val) in zip(in_flight_names,
+                                         self._fetch_stacked(in_flight)):
                 for i, p in enumerate(names):
                     ordered[p] = (int(y[i]), float(y_val[i]))
         return [(p, ordered[p]) for p in paths]
@@ -416,11 +437,12 @@ class Predictor:
                       self._next_rng())
         return np.asarray(y), np.asarray(y_val)
 
-    def _forward_fn_yuv(self, num_frames: int):
+    def _forward_fn_yuv(self, num_frames: int, stacked: bool = False):
         """Batched forward taking planar YUV420 — half the H2D bytes of RGB;
         colorspace conversion fuses into the on-device normalize
-        (data/preprocess.normalize_yuv420)."""
-        key = ("yuv", num_frames)
+        (data/preprocess.normalize_yuv420). stacked=True returns one f32
+        [2,V] array for single-fetch streaming."""
+        key = ("yuv", num_frames, stacked)
         if key in self._jit_cache:
             return self._jit_cache[key]
         net = self.net
@@ -446,62 +468,63 @@ class Predictor:
             else:
                 per_video = logits.reshape(v, f, 2)
                 full_mask = mask
-            return jax.vmap(aggregate_logits)(per_video, full_mask)
+            y, y_val = jax.vmap(aggregate_logits)(per_video, full_mask)
+            if stacked:
+                return jnp.stack([y.astype(jnp.float32), y_val.astype(jnp.float32)])
+            return y, y_val
 
         jfn = jax.jit(fn)
         self._jit_cache[key] = jfn
         return jfn
 
     def predict_videos_stream_yuv(self, batches) -> List[Tuple[np.ndarray, np.ndarray]]:
-        """Pipelined scoring of ((y,u,v) planes [V,F,...], matrix [3,3],
-        mask [V,F]) batches — the low-H2D production path."""
+        """Pipelined scoring of ((y,u,v) planes [V,F,...], matrix [3,3|4],
+        mask [V,F]) batches — the low-H2D production path. All launches are
+        dispatched asynchronously; ONE stacked fetch syncs the stream."""
         fn = None
-        in_flight: List[Tuple[Any, Any]] = []
+        in_flight: List[Any] = []
         staged = None
         for planes, matrix, masks in batches:
             nxt = (tuple(jax.device_put(p) for p in planes),
                    jax.device_put(matrix), jax.device_put(masks))
             if staged is not None:
                 if fn is None:
-                    fn = self._forward_fn_yuv(staged[0][0].shape[1])
-                y, y_val = fn(self.params, *staged[0], staged[1], staged[2],
-                              self._next_rng())
-                in_flight.append((y, y_val))
+                    fn = self._forward_fn_yuv(staged[0][0].shape[1], stacked=True)
+                in_flight.append(fn(self.params, *staged[0], staged[1],
+                                    staged[2], self._next_rng()))
             staged = nxt
         if staged is not None:
             if fn is None:
-                fn = self._forward_fn_yuv(staged[0][0].shape[1])
-            y, y_val = fn(self.params, *staged[0], staged[1], staged[2],
-                          self._next_rng())
-            in_flight.append((y, y_val))
-        return [(np.asarray(y), np.asarray(v)) for y, v in in_flight]
+                fn = self._forward_fn_yuv(staged[0][0].shape[1], stacked=True)
+            in_flight.append(fn(self.params, *staged[0], staged[1], staged[2],
+                                self._next_rng()))
+        return self._fetch_stacked(in_flight)
 
     def predict_videos_stream(self, batches: Iterable[Tuple[np.ndarray, np.ndarray]],
                               ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Pipelined scoring of a stream of ([V,F,S,S,3], [V,F]) batches.
 
         The next batch's H2D transfer is issued (async) while the current
-        batch computes, and only the small per-video outputs force syncs —
-        hiding transfer latency and per-launch dispatch overhead behind
-        compute. This is the production shape of dataset-scale eval.
+        batch computes; per-launch verdicts stay on device and ONE stacked
+        fetch syncs the whole stream (each fetch is a full relay/PCIe round
+        trip). This is the production shape of dataset-scale eval.
         """
         fn = None
-        in_flight: List[Tuple[Any, Any]] = []  # (y_dev, yval_dev)
-        results: List[Tuple[np.ndarray, np.ndarray]] = []
+        in_flight: List[Any] = []
         staged = None  # device-resident (faces, masks)
         for faces, masks in batches:
             nxt = (jax.device_put(faces), jax.device_put(masks))
             if staged is not None:
                 if fn is None:
-                    fn = self._forward_fn(staged[0].shape[1], batched=True)
-                y, y_val = fn(self.params, staged[0], staged[1], self._next_rng())
-                in_flight.append((y, y_val))
+                    fn = self._forward_fn(staged[0].shape[1], batched=True,
+                                          stacked=True)
+                in_flight.append(fn(self.params, staged[0], staged[1],
+                                    self._next_rng()))
             staged = nxt
         if staged is not None:
             if fn is None:
-                fn = self._forward_fn(staged[0].shape[1], batched=True)
-            y, y_val = fn(self.params, staged[0], staged[1], self._next_rng())
-            in_flight.append((y, y_val))
-        for y, y_val in in_flight:
-            results.append((np.asarray(y), np.asarray(y_val)))
-        return results
+                fn = self._forward_fn(staged[0].shape[1], batched=True,
+                                      stacked=True)
+            in_flight.append(fn(self.params, staged[0], staged[1],
+                                self._next_rng()))
+        return self._fetch_stacked(in_flight)

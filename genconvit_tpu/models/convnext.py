@@ -95,6 +95,50 @@ def _block_xla(p: Dict, x: jax.Array) -> jax.Array:
     return shortcut + x
 
 
+def _block_xla_folded(p: Dict, x: jax.Array) -> jax.Array:
+    """Inference block with the LayerNorm folded into the fc1 matmul.
+
+    LN(x) @ W == x @ (gamma*W) followed by a per-row affine epilogue:
+      z = x @ diag(gamma) W
+      out = (z - mu * (gamma @ W)) * rsqrt(var+eps) + (beta @ W + b1)
+    Mathematically identical to _block_xla (fp rounding order differs —
+    validated to bf16/f32 tolerance in tests). Profiled on the v5e: the
+    standalone LN pass at [240,56,56,96] costs ~2.5ms + layout-churn copies;
+    folding removes it, leaving a ~0.4ms f32 stats reduction. Used on the
+    bf16 inference path only; training and f32 keep the standard graph.
+    """
+    shortcut = x
+    dim = x.shape[-1]
+    x = conv2d(x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"], padding=3, groups=dim)
+
+    # LN moments as MXU matmuls (x @ ones/C, x^2 @ ones/C): the cross-lane
+    # VPU reduction costs ~2.4ms at [240,56,56,96] vs ~0.55ms on the MXU
+    # (tools/microbench_block.py). Lane minimum is 128, so the stat vector
+    # rides in column 0 of a [C,128] operand.
+    # (1.0 weights keep the bf16 products exact; the /C happens in f32)
+    ones_c = jnp.zeros((dim, 128), x.dtype).at[:, 0].set(1.0)
+    inv_c = jnp.float32(1.0 / dim)
+    mu = jnp.dot(x, ones_c, preferred_element_type=jnp.float32)[..., :1] * inv_c
+    sq = jnp.dot(x * x, ones_c, preferred_element_type=jnp.float32)[..., :1] * inv_c
+    var = sq - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+
+    gamma = p["norm"]["scale"].astype(jnp.float32)
+    beta = p["norm"]["bias"].astype(jnp.float32)
+    w1 = p["mlp"]["fc1"]["kernel"].astype(jnp.float32)
+    b1 = p["mlp"]["fc1"]["bias"].astype(jnp.float32)
+    wg = (gamma[:, None] * w1).astype(x.dtype)   # [C, 4C], fused weight prep
+    gw = gamma @ w1                               # [4C]
+    bw = beta @ w1 + b1                           # [4C]
+
+    z = jnp.dot(x, wg, preferred_element_type=jnp.float32)
+    y = ((z - mu * gw) * inv + bw).astype(x.dtype)
+    y = gelu(y)
+    y = linear(y, p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"])
+    y = y * p["gamma"].astype(y.dtype)
+    return shortcut + y
+
+
 @jax.custom_vjp
 def _block_pallas_op(p: Dict, x: jax.Array) -> jax.Array:
     from genconvit_tpu.ops.pallas.convnext_block import fused_convnext_block
@@ -118,17 +162,21 @@ _block_pallas_op.defvjp(_block_pallas_fwd, _block_pallas_bwd)
 
 
 def _block(p: Dict, x: jax.Array) -> jax.Array:
-    # Fused Pallas path for the large early stages (H >= 28) on TPU: one
-    # kernel per block instead of 5+ HBM round trips (ops/pallas/convnext_block),
-    # differentiable via the custom VJP above. Late stages are too small to
-    # amortize the kernel and stay on XLA.
-    from genconvit_tpu.ops.pallas import pallas_enabled
+    # Dispatch, fastest-first (v5e profile, tools/microbench_ops.py):
+    #  * bf16 -> LN-folded XLA block + rational GELU (_block_xla_folded):
+    #    beats both the plain XLA graph and the fused Pallas slab kernel,
+    #    whose cost was dominated by the erf GELU / LN VPU passes anyway.
+    #  * GENCONVIT_PALLAS=1 force-on keeps the Pallas slab kernel selectable
+    #    for the big stages (A/B harness + regression tracking).
+    #  * f32 (CPU tests, default-dtype training) -> the standard graph,
+    #    bit-comparable with the torch oracles.
+    import os
 
-    # bf16 only: the full-image slab + MLP panels exceed the 16MB VMEM budget
-    # in f32 (f32 flows fall back to XLA, including default-dtype training)
-    if (pallas_enabled() and x.dtype == jnp.bfloat16
-            and x.shape[1] >= 28 and x.shape[1] % 14 == 0):
-        return _block_pallas_op(p, x)
+    if x.dtype == jnp.bfloat16:
+        if (os.environ.get("GENCONVIT_PALLAS") == "1"
+                and x.shape[1] >= 28 and x.shape[1] % 14 == 0):
+            return _block_pallas_op(p, x)
+        return _block_xla_folded(p, x)
     return _block_xla(p, x)
 
 

@@ -4,19 +4,67 @@ torch nn.GELU default is the *erf* form (not tanh approx); jax.nn.gelu defaults
 to the approximation — we pin approximate=False for parity.
 torch nn.LeakyReLU default negative_slope=0.01 (ref VAE uses the default,
 model/genconvit_vae.py:18-31).
+
+bf16 fast path: XLA's erf lowering dominates the ConvNeXt block on TPU
+(profiled at ~4.3ms for one [240,56,56,384] GELU — 3.5x the matmul that
+feeds it), so bf16 inputs use a fitted rational erf (max abs err 8.7e-7,
+exhaustively bf16-validated: identical bits everywhere except |gelu| < 2e-5
+deep-tail values). f32 keeps the exact erf so torch-oracle parity tests and
+f32 training are bit-comparable.
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Minimax-fitted rational erf(z) ~ z * P(z^2)/Q(z^2) on |z| <= 3.625
+# (max abs error 8.7e-7; erf pinned to +-1 outside). Fitted against
+# scipy.special.erf with iterative weighted least squares.
+_ERF_P = (1.1283791233432234, 0.2571863689937213, 0.057255831726436376,
+          0.0057354856364086396, 0.00015586043306483894,
+          -1.0666330908322879e-06)
+_ERF_Q = (1.0, 0.5612572789010719, 0.13783698081066592,
+          0.018689943146010534, 0.0013449923247288303)
+_ERF_ZMAX = 3.625
 
 
 def relu(x: jax.Array) -> jax.Array:
     return jnp.maximum(x, 0)
 
 
+def _erf_rational_f32(z: jax.Array) -> jax.Array:
+    """f32 rational erf for the clamped range; pins to +-1 outside."""
+    zc = jnp.clip(z, -_ERF_ZMAX, _ERF_ZMAX)
+    t = zc * zc
+    p = jnp.float32(_ERF_P[-1])
+    for c in _ERF_P[-2::-1]:
+        p = p * t + jnp.float32(c)
+    q = jnp.float32(_ERF_Q[-1])
+    for c in _ERF_Q[-2::-1]:
+        q = q * t + jnp.float32(c)
+    e = zc * (p / q)
+    e = jnp.where(z <= -_ERF_ZMAX, jnp.float32(-1.0), e)
+    return jnp.where(z >= _ERF_ZMAX, jnp.float32(1.0), e)
+
+
+def gelu_fast(x: jax.Array) -> jax.Array:
+    """Exact-erf-form GELU via the rational approximation (any float dtype);
+    returns x's dtype. ~3-4x cheaper than XLA's erf on the TPU VPU."""
+    x32 = x.astype(jnp.float32)
+    e = _erf_rational_f32(x32 * jnp.float32(0.7071067811865476))
+    return (jnp.float32(0.5) * x32 * (jnp.float32(1.0) + e)).astype(x.dtype)
+
+
+def _exact_gelu_forced() -> bool:
+    return os.environ.get("GENCONVIT_EXACT_GELU", "0") == "1"
+
+
 def gelu(x: jax.Array) -> jax.Array:
+    if x.dtype == jnp.bfloat16 and not _exact_gelu_forced():
+        return gelu_fast(x)
     return jax.nn.gelu(x, approximate=False)
 
 

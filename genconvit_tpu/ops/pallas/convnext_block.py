@@ -33,16 +33,12 @@ _LN_EPS = 1e-6
 
 
 def _erf(x):
-    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7): Mosaic has no
-    erf/erfc lowering, and 1.5e-7 is far below bf16 resolution."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+    """Rational erf z*P(z^2)/Q(z^2) (ops/act._erf_rational_f32; |err|<=8.7e-7,
+    far below bf16 resolution): Mosaic has no erf lowering, and the previous
+    Abramowitz-Stegun form burned an exp per element on the VPU."""
+    from genconvit_tpu.ops.act import _erf_rational_f32
+
+    return _erf_rational_f32(x)
 
 
 def _block_kernel(x_pad_hbm, w_dw, b_dw, ln_scale, ln_bias,

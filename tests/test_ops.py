@@ -5,6 +5,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from genconvit_tpu import ops
@@ -133,6 +134,56 @@ def test_linear_matches_torch(rng):
     ref = F.linear(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b)).numpy()
     out = ops.linear(jnp.asarray(x), jnp.asarray(w.T), jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+class TestFastGelu:
+    def test_bf16_exhaustive_vs_exact(self):
+        """The rational-erf GELU over EVERY finite bf16 input in [-300, 300]:
+        each output is within 1 bf16 ulp (2^-7 relative) of the exactly
+        rounded erf GELU, or within 2e-5 absolute in the deep negative tail
+        — invisible against O(1) activations. 98%+ of inputs are bit-equal."""
+        from scipy.special import erf
+
+        from genconvit_tpu.ops.act import gelu_fast
+
+        xb = jnp.asarray(np.arange(65536, dtype=np.uint16)).view(jnp.bfloat16)
+        x = np.asarray(xb.astype(jnp.float32))
+        m = np.isfinite(x) & (np.abs(x) < 300)
+        x = x[m]
+        exact = 0.5 * x.astype(np.float64) * (1 + erf(x / np.sqrt(2)))
+        exact_b = np.asarray(jnp.asarray(exact.astype(np.float32))
+                             .astype(jnp.bfloat16).astype(jnp.float32))
+        got_b = np.asarray(gelu_fast(jnp.asarray(x).astype(jnp.bfloat16))
+                           .astype(jnp.float32))
+        diff = np.abs(exact_b - got_b)
+        bound = np.maximum(np.abs(exact_b) * 2.0 ** -7, 2e-5)
+        assert (diff <= bound).all()
+        assert (diff == 0).mean() > 0.98
+
+    def test_f32_keeps_exact_erf(self):
+        """f32 gelu must stay the exact erf form (torch-oracle comparisons)."""
+        from genconvit_tpu.ops.act import gelu
+
+        x = jnp.linspace(-6, 6, 1001, dtype=jnp.float32)
+        ref = jax.nn.gelu(x, approximate=False)
+        np.testing.assert_array_equal(np.asarray(gelu(x)), np.asarray(ref))
+
+    def test_folded_block_matches_standard(self, rng):
+        """LN-folded inference block vs the standard graph: tight in f32,
+        within one bf16 ulp in bf16."""
+        from genconvit_tpu.models.convnext import (_block_xla,
+                                                   _block_xla_folded,
+                                                   init_convnext)
+
+        p = dict(init_convnext(jax.random.PRNGKey(0))["stages"][0]["blocks"][0])
+        p["gamma"] = jnp.full((96,), 0.3, jnp.float32)  # realistic magnitude
+        for dt, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 4e-2)):
+            x = jnp.asarray(rng.standard_normal((2, 28, 28, 96)), dt)
+            pc = jax.tree.map(
+                lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, p)
+            a = np.asarray(_block_xla(pc, x), np.float32)
+            b = np.asarray(_block_xla_folded(pc, x), np.float32)
+            assert np.abs(a - b).max() <= tol
 
 
 class TestResize:
