@@ -29,6 +29,22 @@ def shard_file_list(paths: Sequence[str], process_index: Optional[int] = None,
     return [p for i, p in enumerate(paths) if i % pc == pi]
 
 
+def sharded_params(predictor: Predictor, mesh, tensor_parallel: bool):
+    """Predictor params resharded for `mesh`, cached on the predictor.
+
+    Without the cache every predict_sharded call re-device_puts the full
+    param tree (the VAE latent heads alone are ~630M elements) — pathological
+    in a real sharded-eval loop. Keyed by (mesh devices, axes, tp flag)."""
+    key = (tuple(d.id for d in mesh.devices.flat),
+           tuple(mesh.shape.items()), tensor_parallel)
+    cache = getattr(predictor, "_sharded_params_cache", None)
+    if cache is None:
+        cache = predictor._sharded_params_cache = {}
+    if key not in cache:
+        cache[key] = shard_params(predictor.params, mesh, tensor_parallel)
+    return cache[key]
+
+
 def predict_sharded(
     predictor: Predictor,
     faces_batch: np.ndarray,   # [V, F, S, S, 3] uint8
@@ -50,7 +66,7 @@ def predict_sharded(
             [faces_batch, np.zeros((pad,) + faces_batch.shape[1:], faces_batch.dtype)])
         masks = np.concatenate([masks, np.zeros((pad,) + masks.shape[1:], masks.dtype)])
 
-    params = shard_params(predictor.params, mesh, tensor_parallel)
+    params = sharded_params(predictor, mesh, tensor_parallel)
     sh = batch_sharding(mesh)
     fb = jax.device_put(faces_batch, sh)
     mk = jax.device_put(masks, sh)

@@ -26,8 +26,11 @@ logging.basicConfig(level=logging.INFO, format="%(message)s")
 log = logging.getLogger("genconvit_tpu.serve")
 
 
-def make_handler(predictor, num_frames: int):
-    lock = threading.Lock()  # serialize device access; host work can overlap
+def make_handler(predictor, num_frames: int, batcher=None):
+    """batcher: optional infer.batcher.MicroBatcher — concurrent requests
+    coalesce into one batched launch instead of serializing the chip behind
+    a lock. Falls back to lock-serialized per-video calls when None."""
+    lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -61,8 +64,11 @@ def make_handler(predictor, num_frames: int):
                 tmp.write(data)
                 tmp.close()
                 faces = predictor.extract_faces(tmp.name, num_frames)
-                with lock:
-                    y, y_val = predictor.predict_faces(faces, num_frames)
+                if batcher is not None:
+                    y, y_val = batcher.submit(faces)
+                else:
+                    with lock:
+                        y, y_val = predictor.predict_faces(faces, num_frames)
                 from genconvit_tpu.infer.aggregate import real_or_fake
 
                 self._reply(200, {
@@ -94,6 +100,9 @@ def main():
     p.add_argument("--fp16", action="store_true")
     p.add_argument("--face-backend", default=None)
     p.add_argument("--weights-dir", default="weight")
+    p.add_argument("--batch-window-ms", type=float, default=8.0,
+                   help="micro-batch window; 0 disables cross-request batching")
+    p.add_argument("--max-batch", type=int, default=8)
     args = p.parse_args()
 
     from genconvit_tpu.config import load_config
@@ -108,10 +117,19 @@ def main():
 
     predictor.predict_faces(
         np.zeros((1, config.img_size, config.img_size, 3), np.uint8), args.f)
-    log.info("model warm; serving on %s:%d", args.host, args.port)
+
+    batcher = None
+    if args.batch_window_ms > 0:
+        from genconvit_tpu.infer.batcher import MicroBatcher
+
+        batcher = MicroBatcher(predictor, args.f,
+                               window_ms=args.batch_window_ms,
+                               max_batch=args.max_batch)
+    log.info("model warm; serving on %s:%d (micro-batch window %.1fms)",
+             args.host, args.port, args.batch_window_ms)
 
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(predictor, args.f))
+                                 make_handler(predictor, args.f, batcher))
     server.serve_forever()
 
 

@@ -74,6 +74,24 @@ def test_sharded_eval_matches_unsharded(small_cfg, rng):
     np.testing.assert_allclose(vals, vals_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_params_cached_across_calls(small_cfg, rng):
+    """The full param tree must be resharded ONCE per mesh, not per call —
+    the VAE latent heads are ~630M elements in production."""
+    from genconvit_tpu.parallel.eval_shard import sharded_params
+
+    p = Predictor(small_cfg, net="ed", face_backend="fullframe")
+    mesh = make_mesh(data=8, model=1)
+    a = sharded_params(p, mesh, False)
+    b = sharded_params(p, mesh, False)
+    leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert all(la is lb for la, lb in zip(leaves_a, leaves_b))
+    faces = (rng.random((2, 3, 64, 64, 3)) * 255).astype(np.uint8)
+    masks = np.ones((2, 3), np.float32)
+    predict_sharded(p, faces, masks, mesh)
+    predict_sharded(p, faces, masks, mesh)
+    assert len(p._sharded_params_cache) == 1
+
+
 def test_shard_file_list_partitions():
     paths = [f"v{i}.mp4" for i in range(10)]
     shards = [shard_file_list(paths, pi, 4) for pi in range(4)]
