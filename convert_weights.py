@@ -23,6 +23,10 @@ def main():
     p.add_argument("--which", choices=["ed", "vae"], default=None)
     p.add_argument("--no-dead", action="store_true",
                    help="drop checkpoint-only parameter groups (SURVEY.md §8 B9)")
+    p.add_argument("--strict", action="store_true",
+                   help="fail unless every checkpoint key was consumed "
+                        "(catches timm-layout misreadings; use on the "
+                        "published HuggingFace weights)")
     args = p.parse_args()
 
     import torch
@@ -31,7 +35,8 @@ def main():
     sd = unwrap_state_dict(obj)
     which = args.which or detect_branch(sd)
     params = convert_checkpoint(obj, which=which,
-                                carry_dead_params=not args.no_dead)
+                                carry_dead_params=not args.no_dead,
+                                strict=args.strict)
     out = args.out or os.path.splitext(args.pth)[0] + ".gcv"
     epoch = obj.get("epoch", 0) if isinstance(obj, dict) else 0
     min_loss = obj.get("min_loss", 0.0) if isinstance(obj, dict) else 0.0

@@ -27,6 +27,10 @@ class ModelConfig:
     # Q1 (SURVEY.md §8): the reference's HybridEmbed/Swin params never run in the
     # forward graph of a timm ConvNeXt. Off by default; opt-in research path.
     use_hybrid_embed: bool = False
+    # 'original' | 'updated' — the updated VAE variant has the fixed
+    # reparameterization, Tanh decoder, and dropout classifier
+    # (ref model/genconvit_vae_updated.py, used by train_updated.py).
+    vae_variant: str = "original"
     # Carry the (dead) embedder/hybrid-embed parameter groups in *randomly
     # initialized* trees so native checkpoints mirror converted reference ones
     # (SURVEY.md §8 B9). The converter always carries them (its own flag);
@@ -54,8 +58,11 @@ class Config:
     # Compute dtype for the jitted forward/backward path. 'bfloat16' on TPU,
     # 'float32' elsewhere. The reference's --fp16 flag maps to bfloat16.
     compute_dtype: str = "float32"
-    # Face-detection backend: 'haar' | 'fullframe' | 'recorded' | 'none'
-    face_backend: str = "haar"
+    # Face-detection backend: 'jax' (on-device detector, committed
+    # checkpoint in genconvit_tpu/assets/) | 'haar' | 'skin' | 'fullframe' |
+    # 'recorded' | 'none'. The engine warns and falls back to 'fullframe'
+    # if the chosen backend's artifacts are missing.
+    face_backend: str = "jax"
     # Where weights live (ref hardcodes 'weight/' CWD-relative).
     weight_dir: str = "weight"
 

@@ -22,9 +22,39 @@ round-trip; the inference engine prunes them before device upload
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional, Set
 
 import numpy as np
+
+# Checkpoint keys that are legitimately not converted: torch bookkeeping and
+# deterministic buffers we recompute (SURVEY.md §2: relative_position_index
+# depends only on the window size; attn_mask only on the grid).
+_EXPECTED_UNCONSUMED = re.compile(
+    r".*(num_batches_tracked|relative_position_index|attn_mask)$")
+
+
+class _TrackingDict(Mapping):
+    """Records which checkpoint keys conversion actually reads, so strict
+    mode can prove the converter consumed the whole state dict (a silent
+    misreading of timm layouts would otherwise pass every oracle test —
+    VERDICT r1 missing item 2)."""
+
+    def __init__(self, sd: Mapping[str, Any]):
+        self._sd = sd
+        self.used: Set[str] = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return self._sd[k]
+
+    def __contains__(self, k):  # presence checks don't count as consumption
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
 
 
 def _np(t) -> np.ndarray:
@@ -71,9 +101,44 @@ def _bn(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
     }
 
 
-def _sub(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
-    plen = len(prefix)
-    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+class _PrefixView(Mapping):
+    """Prefix-stripped view of a state dict that forwards reads to the
+    parent — so _TrackingDict consumption accounting survives _sub()."""
+
+    def __init__(self, sd: Mapping[str, Any], prefix: str):
+        self._sd = sd
+        self._prefix = prefix
+        self._keys = [k[len(prefix):] for k in sd if k.startswith(prefix)]
+
+    def __getitem__(self, k):
+        return self._sd[self._prefix + k]
+
+    def __contains__(self, k):
+        return (self._prefix + k) in self._sd
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self):
+        return len(self._keys)
+
+
+def _sub(sd: Mapping[str, Any], prefix: str) -> Mapping[str, Any]:
+    return _PrefixView(sd, prefix)
+
+
+def _consume_hybrid_aliases(sd: Mapping[str, Any], backbone_prefix: str) -> None:
+    """The reference's HybridEmbed registers the SAME Swin module under both
+    `embedder.*` and `<backbone>.patch_embed.backbone.*` (ref
+    model/genconvit_ed.py:69-70) — the latter keys are tensor aliases of the
+    former. Mark them consumed so strict mode doesn't flag duplicates."""
+    used = getattr(sd, "used", None)
+    if used is None:
+        return
+    alias_prefix = f"{backbone_prefix}.patch_embed.backbone."
+    for k in sd:
+        if k.startswith(alias_prefix):
+            used.add(k)
 
 
 def _count(sd: Mapping[str, Any], pattern: str) -> int:
@@ -181,6 +246,7 @@ def convert_ed(sd: Mapping[str, Any], carry_dead_params: bool = True) -> Dict[st
         params["embedder"] = convert_swin(_sub(sd, "embedder."))
         if "backbone.patch_embed.proj.weight" in sd:
             params["hybrid_proj"] = _conv(sd, "backbone.patch_embed.proj")
+        _consume_hybrid_aliases(sd, "backbone")
     return params
 
 
@@ -211,10 +277,47 @@ def convert_vae(sd: Mapping[str, Any], carry_dead_params: bool = True) -> Dict[s
             params["embedder"] = convert_swin(_sub(sd, "embedder."))
         if "convnext_backbone.patch_embed.proj.weight" in sd:
             params["hybrid_proj"] = _conv(sd, "convnext_backbone.patch_embed.proj")
+        _consume_hybrid_aliases(sd, "convnext_backbone")
     return params
 
 
 # ---------------------------------------------------------------- entry
+
+
+def convert_vae_updated(sd: Mapping[str, Any],
+                        carry_dead_params: bool = True) -> Dict[str, Any]:
+    """genconvit_vae_updated state dict -> models/vae.py updated tree.
+    Layout (ref model/genconvit_vae_updated.py): encoder as the original;
+    decoder.decoder_input Linear + decoder.features with ConvTs at
+    {0,3,6,9} and BNs at {1,4,7} (the last ConvT feeds Tanh, no BN)."""
+    enc: Dict[str, Any] = {
+        "convs": [_conv(sd, f"encoder.features.{i}") for i in (0, 3, 6, 9)],
+        "bns": [_bn(sd, f"encoder.features.{i}") for i in (1, 4, 7, 10)],
+        "mu": _linear(sd, "encoder.mu"),
+        "var": _linear(sd, "encoder.var"),
+    }
+    if carry_dead_params:
+        enc["fc1"] = _linear(sd, "encoder.fc1")
+        enc["fc2"] = _linear(sd, "encoder.fc2")
+    params: Dict[str, Any] = {
+        "encoder": enc,
+        "decoder": {
+            "input": _linear(sd, "decoder.decoder_input"),
+            "convs": [_convT(sd, f"decoder.features.{i}") for i in (0, 3, 6, 9)],
+            "bns": [_bn(sd, f"decoder.features.{i}") for i in (1, 4, 7)],
+        },
+        "backbone": convert_convnext(_sub(sd, "convnext_backbone.")),
+        "fc": _linear(sd, "fc"),
+        "fc2": _linear(sd, "fc2"),
+    }
+    if carry_dead_params:
+        params["fc3"] = _linear(sd, "fc3")
+        if "embedder.patch_embed.proj.weight" in sd:
+            params["embedder"] = convert_swin(_sub(sd, "embedder."))
+        if "convnext_backbone.patch_embed.proj.weight" in sd:
+            params["hybrid_proj"] = _conv(sd, "convnext_backbone.patch_embed.proj")
+        _consume_hybrid_aliases(sd, "convnext_backbone")
+    return params
 
 
 def unwrap_state_dict(obj: Any) -> Mapping[str, Any]:
@@ -227,24 +330,49 @@ def unwrap_state_dict(obj: Any) -> Mapping[str, Any]:
 
 
 def detect_branch(sd: Mapping[str, Any]) -> str:
-    """'ed' | 'vae' from the key signature."""
+    """'ed' | 'vae' | 'vae_updated' from the key signature."""
+    if "decoder.decoder_input.weight" in sd:
+        return "vae_updated"
     if any(k.startswith("convnext_backbone.") for k in sd):
         return "vae"
     return "ed"
 
 
 def convert_checkpoint(path_or_obj: Any, which: Optional[str] = None,
-                       carry_dead_params: bool = True) -> Dict[str, Any]:
+                       carry_dead_params: bool = True,
+                       strict: bool = False) -> Dict[str, Any]:
     """Load a reference .pth (path or already-loaded object) and convert.
-    Returns the branch param tree; `which` overrides auto-detection."""
+    Returns the branch param tree; `which` overrides auto-detection.
+
+    strict=True asserts every checkpoint key was consumed by the conversion
+    (modulo torch bookkeeping/recomputed buffers) — the guard against a
+    systematic misreading of the timm-0.6.5 layout that would otherwise
+    silently ignore real weights. Run against the published HuggingFace
+    checkpoints as step 1 of the parity runbook (docs/parity_runbook.md)."""
     obj = path_or_obj
     if isinstance(obj, str):
         import torch  # local import: torch is only needed for .pth IO
         obj = torch.load(obj, map_location="cpu", weights_only=False)
     sd = unwrap_state_dict(obj)
     which = which or detect_branch(sd)
+    tracked = _TrackingDict(sd)
     if which == "ed":
-        return convert_ed(sd, carry_dead_params)
-    if which == "vae":
-        return convert_vae(sd, carry_dead_params)
-    raise ValueError(f"unknown branch {which!r}")
+        params = convert_ed(tracked, carry_dead_params)
+    elif which == "vae":
+        params = convert_vae(tracked, carry_dead_params)
+    elif which == "vae_updated":
+        params = convert_vae_updated(tracked, carry_dead_params)
+    else:
+        raise ValueError(f"unknown branch {which!r}")
+    if strict:
+        unused = sorted(
+            k for k in sd
+            if k not in tracked.used and not _EXPECTED_UNCONSUMED.match(k))
+        if unused:
+            shown = ", ".join(unused[:20])
+            more = f" (+{len(unused) - 20} more)" if len(unused) > 20 else ""
+            raise ValueError(
+                f"strict conversion: {len(unused)} checkpoint key(s) were "
+                f"not consumed — layout mismatch or new parameter group: "
+                f"{shown}{more}")
+    return params

@@ -147,7 +147,8 @@ class JaxFaceDetector(FaceDetector):
     the pipeline runnable but finds nothing useful."""
 
     def __init__(self, checkpoint: Optional[str] = None,
-                 score_thresh: float = 0.5, max_faces: int = 4):
+                 score_thresh: float = 0.5, max_faces: int = 4,
+                 allow_random: bool = False):
         import jax
 
         from genconvit_tpu.models.facedet import (INPUT_SIZE, detect_batch,
@@ -159,13 +160,15 @@ class JaxFaceDetector(FaceDetector):
             from genconvit_tpu.core.checkpoint import load_checkpoint
 
             self.params = load_checkpoint(checkpoint)["params"]
-        else:
-            import logging
-
-            logging.getLogger("genconvit_tpu").warning(
-                "jax face detector: no checkpoint (%r) — RANDOM weights",
-                checkpoint)
+        elif allow_random:  # structural tests only
             self.params = init_facedet(jax.random.PRNGKey(0))
+        else:
+            # fail loudly: a random-weight detector silently finds nothing,
+            # which is indistinguishable from "no faces in this video"
+            raise FileNotFoundError(
+                f"jax face detector: no trained checkpoint at {checkpoint!r} "
+                f"(set GENCONVIT_FACEDET_CKPT or restore "
+                f"genconvit_tpu/assets/facedet.gcv)")
         import functools
 
         self._fn = jax.jit(functools.partial(
@@ -207,12 +210,30 @@ def make_detector(backend: str, **kwargs) -> FaceDetector:
         return HaarDetector(kwargs.get("cascade_path", os.environ.get(
             "GENCONVIT_HAAR_CASCADE", "haarcascade_frontalface_default.xml")))
     if backend == "recorded":
-        return RecordedDetector(kwargs["sidecar_path"])
+        sidecar = kwargs.get("sidecar_path",
+                             os.environ.get("GENCONVIT_FACE_SIDECAR"))
+        if not sidecar or not os.path.isfile(sidecar):
+            raise FileNotFoundError(
+                f"recorded backend needs a boxes sidecar (--face-sidecar / "
+                f"GENCONVIT_FACE_SIDECAR); got {sidecar!r}")
+        return RecordedDetector(sidecar)
     if backend == "jax":
         return JaxFaceDetector(
-            kwargs.get("checkpoint", os.environ.get("GENCONVIT_FACEDET_CKPT")),
+            kwargs.get("checkpoint", default_facedet_checkpoint()),
             **{k: v for k, v in kwargs.items() if k in ("score_thresh", "max_faces")})
     raise ValueError(f"unknown face backend: {backend}")
+
+
+def default_facedet_checkpoint() -> Optional[str]:
+    """GENCONVIT_FACEDET_CKPT env, else the committed package asset
+    (genconvit_tpu/assets/facedet.gcv — trained offline on synthetic
+    composites of the reference's sample faces, tools/train_facedet_synth.py)."""
+    env = os.environ.get("GENCONVIT_FACEDET_CKPT")
+    if env:
+        return env
+    asset = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "facedet.gcv")
+    return asset if os.path.isfile(asset) else None
 
 
 def crop_faces(frames: np.ndarray, boxes_per_frame: List[List[Box]],

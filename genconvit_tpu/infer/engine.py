@@ -352,6 +352,55 @@ class Predictor:
                     ordered[p] = (int(y[i]), float(y_val[i]))
         return [(p, ordered[p]) for p in paths]
 
+    def predict_files_native_rgb(self, paths: Sequence[str], num_frames: int = 15,
+                                 video_batch: int = 8,
+                                 ) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
+        """Fullframe RGB driver over the C++ batched decoder: ONE
+        gcv_decode_videos call per group fills the whole [V,F,S,S,3] block
+        (fused decode+resize in the native thread pool,
+        native/gcv_decode.cc:gcv_decode_videos) — no Python-side per-video
+        readers. Launches are async, so group i+1's decode overlaps group
+        i's device compute; one stacked fetch syncs everything."""
+        from genconvit_tpu.data.native import decode_videos_batch
+        from genconvit_tpu.data.video import _maybe_inject_fault
+
+        s = self.config.img_size
+        fn = self._forward_fn(num_frames, batched=True, stacked=True)
+        ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
+        in_flight_meta: List[Tuple[List[str], np.ndarray]] = []
+        in_flight: List[Any] = []
+        for g in range(0, len(paths), video_batch):
+            group = []
+            for p in paths[g: g + video_batch]:
+                try:  # per-video fault tolerance (ref prediction.py:25-45)
+                    _maybe_inject_fault(p)
+                    group.append(p)
+                except Exception as e:
+                    log.error("error on %s: %s", p, e)
+            if not group:
+                continue
+            with self.timers.stage("decode"):
+                frames, counts = decode_videos_batch(group, num_frames, s, s)
+            masks = (np.arange(num_frames)[None, :]
+                     < counts[:, None]).astype(np.float32)
+            if len(group) < video_batch:  # pad the tail: one compile per V
+                padn = video_batch - len(group)
+                frames = np.concatenate(
+                    [frames, np.zeros((padn,) + frames.shape[1:], frames.dtype)])
+                masks = np.concatenate(
+                    [masks, np.zeros((padn,) + masks.shape[1:], masks.dtype)])
+            out = fn(self.params, jax.device_put(frames),
+                     jax.device_put(masks), self._next_rng())
+            in_flight_meta.append((group, counts))
+            in_flight.append(out)
+        with self.timers.stage("device_forward"):
+            for (names, counts), (y, y_val) in zip(in_flight_meta,
+                                                   self._fetch_stacked(in_flight)):
+                for i, p in enumerate(names):
+                    ordered[p] = DEFAULT_VERDICT if counts[i] == 0 else \
+                        (int(y[i]), float(y_val[i]))
+        return [(p, ordered[p]) for p in paths]
+
     def predict_files(self, paths: Sequence[str], num_frames: int = 15,
                       workers: int = 8, video_batch: int = 8,
                       ) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
@@ -361,15 +410,19 @@ class Predictor:
         Failures yield None (per-video fault tolerance, ref prediction.py:25-45).
         Zero-face videos get the (0, 0.5) default without a device trip.
         """
-        if (self.transfer_format == "yuv420" and len(paths) > 1
-                and isinstance(self.detector, FullFrameDetector)):
+        if (len(paths) > 1 and isinstance(self.detector, FullFrameDetector)
+                and self.prefer_native_decode):
             try:
                 from genconvit_tpu.data.native import native_available
 
                 if native_available():
-                    return self.predict_files_yuv(paths, num_frames, workers)
+                    if self.transfer_format == "yuv420":
+                        return self.predict_files_yuv(paths, num_frames, workers)
+                    return self.predict_files_native_rgb(paths, num_frames,
+                                                         video_batch)
             except Exception as e:
-                log.warning("yuv420 path unavailable (%s); using rgb", e)
+                log.warning("native batch path unavailable (%s); using the "
+                            "generic driver", e)
         ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
         if not paths:
             return []

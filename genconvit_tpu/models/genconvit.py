@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from genconvit_tpu.config import Config
 from genconvit_tpu.models.ed import ed_apply, init_ed
-from genconvit_tpu.models.vae import init_vae, vae_apply
+from genconvit_tpu.models.vae import init_vae, init_vae_updated, vae_apply
 
 VALID_NETS = ("ed", "vae", "genconvit")
 
@@ -35,7 +35,10 @@ def init_genconvit(key: jax.Array, config: Config, net: str = "genconvit") -> Di
                                carry_dead_params=config.model.carry_dead_params,
                                embedder=config.model.embedder)
     if net in ("vae", "genconvit"):
-        params["vae"] = init_vae(
+        init_fn = (init_vae_updated
+                   if getattr(config.model, "vae_variant", "original") == "updated"
+                   else init_vae)
+        params["vae"] = init_fn(
             k_vae, backbone, config.img_size,
             latent_dims=(config.model.latent_dims
                          if config.img_size == 224 else config.derived_latent_dims()),

@@ -129,6 +129,111 @@ def vae_decode(params: Dict, z: jax.Array) -> jax.Array:
     return x
 
 
+def init_vae_updated(key: jax.Array, backbone: str = "convnext_tiny",
+                     img_size: int = 224, latent_dims: Optional[int] = None,
+                     num_classes: int = 2, backbone_classes: int = 1000,
+                     carry_dead_params: bool = False,
+                     embedder: str = "swin_tiny_patch4_window7_224") -> Dict:
+    """The `genconvit_vae_updated` variant (ref model/genconvit_vae_updated.py):
+    same encoder, but a *correct* reparameterization (std from the var head,
+    :51-55), a decoder with a latent->feature Linear + BN'd ConvTranspose
+    stack ending in Tanh (:69-107), and a dropout classifier (:137-168).
+    Identified structurally: decoder is a dict (original: a list)."""
+    if latent_dims is None:
+        latent_dims = 256 * (img_size // 32) ** 2
+    s = img_size // 16
+    keys = jax.random.split(key, 24)
+    ki = iter(keys)
+    base = init_vae(key, backbone, img_size, latent_dims, num_classes,
+                    backbone_classes, carry_dead_params, embedder)
+    dec_ch = (128, 64, 32, 16, 3)
+    base["decoder"] = {
+        "input": linear_init(next(ki), latent_dims, 128 * s * s),
+        "convs": [conv_transpose_init(next(ki), 2, 2, dec_ch[i], dec_ch[i + 1])
+                  for i in range(4)],
+        "bns": [batch_norm_init(dec_ch[i + 1]) for i in range(3)],
+    }
+    return base
+
+
+def vae_updated_decode(params: Dict, z: jax.Array, *, train: bool = False
+                       ) -> Tuple[jax.Array, Any]:
+    """decoder_input Linear -> unflatten (128,s,s) (torch channel-major) ->
+    3x [ConvT 2x2 s2 + BN + LeakyReLU] -> ConvT -> Tanh
+    (ref model/genconvit_vae_updated.py:69-107)."""
+    dec = params["decoder"]
+    h = linear(z, dec["input"]["kernel"], dec["input"]["bias"])
+    n = h.shape[0]
+    s = int(round((h.shape[1] / 128) ** 0.5))
+    x = h.reshape(n, 128, s, s).transpose(0, 2, 3, 1)  # NCHW view -> NHWC
+    new_bn = []
+    for i, layer in enumerate(dec["convs"]):
+        x = conv_transpose2d(x, layer["kernel"], layer["bias"], stride=2)
+        if i < 3:
+            x, stats = batch_norm(x, dec["bns"][i], train=train)
+            new_bn.append(stats)
+            x = leaky_relu(x)
+        else:
+            x = jnp.tanh(x)
+    return x, (new_bn if train else None)
+
+
+def vae_updated_apply(
+    params: Dict, x: jax.Array, rng: Optional[jax.Array] = None, *,
+    sample: bool = True, train: bool = False,
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Updated-variant forward (ref model/genconvit_vae_updated.py:170-199):
+    encoder -> CORRECT reparameterize(mu, var) -> decoder(Tanh, full size) ->
+    backbone(x), backbone(x_hat) -> relu/dropout classifier. Dropout is
+    eval-identity; training callers apply their own dropout rng if desired
+    (the reference's train_updated.py keeps default torch semantics)."""
+    enc = params["encoder"]
+    h = x
+    new_bn = []
+    for conv, bn in zip(enc["convs"], enc["bns"]):
+        h = conv2d(h, conv["kernel"], conv["bias"], stride=2, padding=1)
+        h, stats = batch_norm(h, bn, train=train)
+        new_bn.append(stats)
+        h = leaky_relu(h)
+    n = h.shape[0]
+    flat = h.transpose(0, 3, 1, 2).reshape(n, -1)
+    mu = linear(flat, enc["mu"]["kernel"], enc["mu"]["bias"])
+    logvar = linear(flat, enc["var"]["kernel"], enc["var"]["bias"])
+    if sample:
+        if rng is None:
+            raise ValueError("vae_updated_apply(sample=True) needs an rng key")
+        std = jnp.exp(0.5 * logvar)  # the FIXED reparameterization (:51-55)
+        eps = jax.random.normal(rng, std.shape, dtype=std.dtype)
+        z = eps * std + mu
+    else:
+        z = mu
+    kl = KL_WEIGHT * jnp.mean(
+        -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=1))
+    x_hat, dec_bn = vae_updated_decode(params, z, train=train)
+    # the reference resizes both to 224 before the backbone (:188-190);
+    # generalized: resize to the backbone's native input (= x's size here)
+    if x_hat.shape[1] != x.shape[1]:
+        x_hat_bb = resize_bilinear_torch(x_hat, (x.shape[1], x.shape[2]))
+    else:
+        x_hat_bb = x_hat
+    x1 = convnext_apply(params["backbone"], x)
+    x2 = convnext_apply(params["backbone"], x_hat_bb)
+    h = jnp.concatenate([x1, x2], axis=1)
+    h = relu(h)  # dropout(0.5) is identity at eval
+    h = linear(h, params["fc"]["kernel"], params["fc"]["bias"])
+    h = relu(h)
+    logits = linear(h, params["fc2"]["kernel"], params["fc2"]["bias"])
+    aux = {"kl": kl, "mu": mu, "logvar": logvar,
+           "bn_stats": (new_bn + (dec_bn or [])) if train else None}
+    return logits, x_hat_bb, aux
+
+
+def is_updated_vae(params: Dict) -> bool:
+    """Structural variant detection: the updated decoder is a dict with a
+    decoder_input Linear; the original decoder is a plain list of ConvTs."""
+    return isinstance(params.get("decoder"), dict)
+
+
 def vae_apply(
     params: Dict, x: jax.Array, rng: Optional[jax.Array] = None, *,
     sample: bool = True, train: bool = False,
@@ -136,7 +241,11 @@ def vae_apply(
     """x: [N,H,W,3] normalized. Returns (logits [N,2], recon_resized [N,H,W,3], aux).
 
     recon is resized to the input size with the torchvision-bilinear-antialias
-    equivalent (ref model/genconvit_vae.py:105,115)."""
+    equivalent (ref model/genconvit_vae.py:105,115). Updated-variant trees
+    (init_vae_updated / converted genconvit_vae_updated checkpoints) dispatch
+    structurally."""
+    if is_updated_vae(params):
+        return vae_updated_apply(params, x, rng, sample=sample, train=train)
     z, aux = vae_encode(params, x, rng, sample=sample, train=train)
     x_hat = vae_decode(params, z)
     x1 = convnext_apply(params["backbone"], x)

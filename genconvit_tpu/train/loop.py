@@ -73,17 +73,23 @@ def _write_back_bn(params: Dict[str, Any], bn_stats, net: str) -> Dict[str, Any]
     branch = "vae" if net in ("vae", "genconvit") else None
     if branch is None or branch not in params:
         return params
+    def merge(olds, news):
+        return [old if new is None else
+                {**old, "mean": new["mean"], "var": new["var"]}
+                for old, new in zip(olds, news)]
+
     params = dict(params)
     vae = dict(params[branch])
     enc = dict(vae["encoder"])
-    new_bns = []
-    for old, new in zip(enc["bns"], bn_stats):
-        if new is None:
-            new_bns.append(old)
-        else:
-            new_bns.append({**old, "mean": new["mean"], "var": new["var"]})
-    enc["bns"] = new_bns
+    n_enc = len(enc["bns"])
+    enc["bns"] = merge(enc["bns"], bn_stats[:n_enc])
     vae["encoder"] = enc
+    # the updated VAE variant also has decoder BNs (models/vae.py
+    # vae_updated_decode); their stats follow the encoder's in bn_stats
+    if isinstance(vae.get("decoder"), dict) and len(bn_stats) > n_enc:
+        dec = dict(vae["decoder"])
+        dec["bns"] = merge(dec["bns"], bn_stats[n_enc:])
+        vae["decoder"] = dec
     params[branch] = vae
     return params
 

@@ -43,7 +43,10 @@ def gen_parser() -> argparse.Namespace:
     p.add_argument("--net", choices=["ed", "vae", "genconvit"],
                    default="genconvit", help="branch selection (working B14 fix)")
     p.add_argument("--face-backend", default=None,
-                   help="fullframe|center|skin|haar|recorded")
+                   help="jax|fullframe|center|skin|haar|recorded")
+    p.add_argument("--face-sidecar", default=None,
+                   help="recorded-boxes JSON for --face-backend recorded "
+                        "(from tools/record_reference_torch.py)")
     p.add_argument("--weights-dir", default="weight")
     p.add_argument("--json-dir", default="json_file")
     p.add_argument("--result-dir", default="result")
@@ -65,6 +68,10 @@ def main():
     if args.s:
         apply_size(config, args.s)
     config.weight_dir = args.weights_dir
+    if args.face_sidecar:
+        os.environ["GENCONVIT_FACE_SIDECAR"] = args.face_sidecar
+        if args.face_backend is None:
+            args.face_backend = "recorded"
 
     predictor = Predictor(
         config,
@@ -92,8 +99,9 @@ def main():
                     num_frames=args.f, runtime_seconds=runtime)
     out = write_result(state.result, result_path(args.result_dir, dataset, args.net))
     if state.has_labels:
-        print(f"accuracy: {state.correct}/{state.count}"
-              f" = {state.correct / max(state.count, 1):.4f}")
+        labeled = len(state.y_true)  # unlabeled videos don't dilute accuracy
+        print(f"accuracy: {state.correct}/{labeled}"
+              f" = {state.correct / max(labeled, 1):.4f}")
     print(f"result written to {out}")
     print(f"\n\n--- {runtime:.2f} seconds ---")
 

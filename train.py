@@ -36,6 +36,11 @@ def gen_parser() -> argparse.Namespace:
     p.add_argument("--img-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--weight-dir", default="weight")
+    p.add_argument("--vae-variant", choices=["original", "updated"],
+                   default=None,
+                   help="'updated' = the train_updated.py variant (fixed "
+                        "reparameterization, Tanh decoder, dropout head — "
+                        "ref model/genconvit_vae_updated.py)")
     return p.parse_args()
 
 
@@ -46,6 +51,8 @@ def main():
     if args.img_size:
         config.img_size = args.img_size
         config.model.latent_dims = config.derived_latent_dims()
+    if args.vae_variant:
+        config.model.vae_variant = args.vae_variant
     mod = "ed" if args.model == "ed" else ("genconvit" if args.model == "genconvit" else "vae")
     epochs = args.epoch if args.epoch else config.epoch
     batch_size = int(args.batch_size) if args.batch_size else config.batch_size
