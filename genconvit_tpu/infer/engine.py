@@ -216,8 +216,13 @@ class Predictor:
                             r.close()
             except IOError:
                 raise
-            except Exception:
-                pass  # fall through to the generic path
+            except Exception as e:
+                # fall through to the generic path, but never silently: a
+                # native-decoder bug hiding behind the cv2 fallback would
+                # only show up as a throughput regression
+                log.warning("native fast path failed on %s (%s: %s); using "
+                            "the generic decode path",
+                            os.path.basename(video_path), type(e).__name__, e)
         with self.timers.stage("decode"):
             frames = extract_frames(video_path, num_frames, self.prefer_native_decode)
         if frames.size == 0:

@@ -111,16 +111,14 @@ def _block_xla_folded(p: Dict, x: jax.Array) -> jax.Array:
     dim = x.shape[-1]
     x = conv2d(x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"], padding=3, groups=dim)
 
-    # LN moments as MXU matmuls (x @ ones/C, x^2 @ ones/C): the cross-lane
-    # VPU reduction costs ~2.4ms at [240,56,56,96] vs ~0.55ms on the MXU
-    # (tools/microbench_block.py). Lane minimum is 128, so the stat vector
-    # rides in column 0 of a [C,128] operand.
-    # (1.0 weights keep the bf16 products exact; the /C happens in f32)
-    ones_c = jnp.zeros((dim, 128), x.dtype).at[:, 0].set(1.0)
-    inv_c = jnp.float32(1.0 / dim)
-    mu = jnp.dot(x, ones_c, preferred_element_type=jnp.float32)[..., :1] * inv_c
-    sq = jnp.dot(x * x, ones_c, preferred_element_type=jnp.float32)[..., :1] * inv_c
-    var = sq - jnp.square(mu)
+    # LN moments via plain f32 reductions. (MXU-matmul stats — x @ ones/C —
+    # win standalone on the microbench, 0.55 vs 2.4ms, but measured WORSE
+    # in-model: the extra dwconv-output consumer breaks XLA's dwconv+stats
+    # fusion and adds layout churn. Kept reduce-based per profile,
+    # tools/microbench_block.py vs tools/profile_forward.py.)
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mu)
     inv = jax.lax.rsqrt(var + _LN_EPS)
 
     gamma = p["norm"]["scale"].astype(jnp.float32)

@@ -1,5 +1,7 @@
 """On-device face detector: shapes, NMS correctness vs numpy reference,
-backend integration."""
+backend integration, and the committed checkpoint's detection quality."""
+
+import os
 
 import numpy as np
 import pytest
@@ -9,6 +11,10 @@ import jax.numpy as jnp
 
 from genconvit_tpu.models.facedet import (
     anchor_centers, detect_batch, facedet_apply, init_facedet, nms)
+
+ASSET = os.path.join(os.path.dirname(__file__), "..", "genconvit_tpu",
+                     "assets", "facedet.gcv")
+REF_FACES = "/root/reference/sample_train_data"
 
 
 @pytest.fixture(scope="module")
@@ -77,15 +83,75 @@ def test_detect_batch_shapes(params, rng):
 
 
 def test_jax_backend_integration(rng):
-    from genconvit_tpu.data.faces import make_detector
+    from genconvit_tpu.data.faces import JaxFaceDetector, make_detector
 
-    det = make_detector("jax")  # random weights: pipeline must still run
+    det = (make_detector("jax") if os.path.isfile(ASSET)
+           else JaxFaceDetector(allow_random=True))
     frames = (rng.random((2, 240, 320, 3)) * 255).astype(np.uint8)
     out = det.detect(frames)
     assert len(out) == 2
     for boxes in out:
         for (t, r, b, l) in boxes:
             assert 0 <= t < b <= 240 and 0 <= l < r <= 320
+
+
+@pytest.mark.skipif(not os.path.isfile(ASSET) or not os.path.isdir(REF_FACES),
+                    reason="committed facedet asset or reference mount missing")
+def test_committed_checkpoint_iou_on_heldout_faces():
+    """The shipped detector (trained on train/valid-split composites) must
+    localize HELD-OUT test-split faces: mean IoU >= 0.5 and >= 75% of
+    single-face composites detected at IoU >= 0.5 (VERDICT r1 item 2 bar)."""
+    from genconvit_tpu.core.checkpoint import load_checkpoint
+    from genconvit_tpu.data.facedet_synth import composite_sample, load_face_crops
+
+    params = load_checkpoint(ASSET)["params"]
+    faces = load_face_crops(REF_FACES, ("test",))
+    assert faces, "no held-out faces found"
+    gen = np.random.default_rng(4242)
+    imgs, gts = [], []
+    while len(imgs) < 48:
+        img, boxes = composite_sample(faces, [], gen)
+        if len(boxes) != 1:
+            continue
+        imgs.append(img)
+        gts.append(boxes[0])
+    scores, boxes = detect_batch(params, jnp.asarray(np.stack(imgs)),
+                                 max_faces=1, score_thresh=0.1)
+    scores, boxes = np.asarray(scores)[:, 0], np.asarray(boxes)[:, 0]
+    ious = []
+    for (cy, cx, h, w), (gy, gx, gh, gw), s in zip(boxes, gts, scores):
+        if not np.isfinite(s):
+            ious.append(0.0)
+            continue
+        ih = max(0.0, min(cy + h / 2, gy + gh / 2) - max(cy - h / 2, gy - gh / 2))
+        iw = max(0.0, min(cx + w / 2, gx + gw / 2) - max(cx - w / 2, gx - gw / 2))
+        inter = ih * iw
+        ious.append(inter / max(h * w + gh * gw - inter, 1e-9))
+    ious = np.array(ious)
+    assert ious.mean() >= 0.5, f"mean IoU {ious.mean():.3f}"
+    assert (ious >= 0.5).mean() >= 0.75, f"det-rate {(ious >= 0.5).mean():.3f}"
+
+
+@pytest.mark.skipif(not os.path.isfile(ASSET) or not os.path.isdir(
+    "/root/reference/sample_prediction_data"),
+    reason="committed facedet asset or reference mount missing")
+def test_committed_checkpoint_fires_on_real_frames():
+    """In-domain sanity: on real sample-video frames the default jax backend
+    must produce face boxes for most frames (the round-1 failure mode was a
+    silent fullframe fallback because no backend worked offline)."""
+    from genconvit_tpu.data.faces import make_detector
+    from genconvit_tpu.data.video import extract_frames
+
+    det = make_detector("jax")
+    d = "/root/reference/sample_prediction_data"
+    vids = sorted(f for f in os.listdir(d) if f.endswith(".mp4"))[:4]
+    fired = total = 0
+    for v in vids:
+        frames = extract_frames(os.path.join(d, v), 3)
+        for boxes in det.detect(frames):
+            total += 1
+            fired += bool(boxes)
+    assert fired / total >= 0.6, f"detector fired on only {fired}/{total} frames"
 
 
 def test_facedet_training_overfits_synthetic(rng):
