@@ -216,8 +216,13 @@ def vae_updated_apply(
         x_hat_bb = resize_bilinear_torch(x_hat, (x.shape[1], x.shape[2]))
     else:
         x_hat_bb = x_hat
-    x1 = convnext_apply(params["backbone"], x)
-    x2 = convnext_apply(params["backbone"], x_hat_bb)
+    # One 2N-batch backbone call instead of two N-batch calls — bitwise
+    # identical (ConvNeXt has no cross-batch ops), doubles the conv batch
+    # the MXU sees and halves kernel launches.
+    both = convnext_apply(params["backbone"],
+                          jnp.concatenate([x, x_hat_bb], axis=0))
+    n = x.shape[0]
+    x1, x2 = both[:n], both[n:]
     h = jnp.concatenate([x1, x2], axis=1)
     h = relu(h)  # dropout(0.5) is identity at eval
     h = linear(h, params["fc"]["kernel"], params["fc"]["bias"])
@@ -248,6 +253,9 @@ def vae_apply(
         return vae_updated_apply(params, x, rng, sample=sample, train=train)
     z, aux = vae_encode(params, x, rng, sample=sample, train=train)
     x_hat = vae_decode(params, z)
+    # Backbone inputs differ in size (x_hat is H/2); batching them into one
+    # call is only exact when shapes match, so keep two calls here — the
+    # recon pass is a quarter of the pixels anyway.
     x1 = convnext_apply(params["backbone"], x)
     x2 = convnext_apply(params["backbone"], x_hat)
     h = jnp.concatenate([x1, x2], axis=1)

@@ -91,6 +91,27 @@ def conv_transpose2d(
     kh, kw = int(w.shape[0]), int(w.shape[1])
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
+    if (kh, kw) == (sh, sw) and (ph, pw) == (0, 0) and int(w.shape[3]) >= 32:
+        # Non-overlapping case (every decoder in the reference: k=2, s=2,
+        # ref model/genconvit_ed.py:38-61): each output pixel gets exactly ONE
+        # kernel tap, so the whole op is a single channel matmul followed by a
+        # depth-to-space rearrange — the MXU sees one [N*H*W, Cin]x[Cin,
+        # kh*kw*Cout] GEMM instead of XLA's input-dilated conv (which scans
+        # 4x the taps against interleaved zeros). Same math: the extra taps
+        # in the dilated form multiply exact zeros. Gated on Cout: for tiny
+        # Cout (the 16->3 / 32->16 decoder tails) the pixel-shuffle transpose
+        # lowers to layout-churn copies that cost more than the dilated conv
+        # (v5e profile, tools/profile_forward.py).
+        n, h, ww_, cin = x.shape
+        cout = int(w.shape[3])
+        wmat = w.astype(x.dtype).transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
+        y = jnp.dot(x.reshape(n * h * ww_, cin), wmat,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.reshape(n, h, ww_, kh, kw, cout).transpose(0, 1, 3, 2, 4, 5)
+        out = y.reshape(n, h * kh, ww_ * kw, cout)
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
     # Gradient-of-conv identity: conv_transpose(x, w) == conv(dilate(x), flip(w)).
     # The stored kernel is already HWIO with I=Cin/O=Cout, so only the spatial
     # flip is needed.
