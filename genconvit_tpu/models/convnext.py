@@ -178,6 +178,65 @@ def _block(p: Dict, x: jax.Array) -> jax.Array:
     return _block_xla(p, x)
 
 
+@jax.custom_vjp
+def _stage_pallas_op(blocks, x: jax.Array) -> jax.Array:
+    from genconvit_tpu.ops.pallas.convnext_stage import fused_convnext_stage
+
+    return fused_convnext_stage(x, blocks)
+
+
+def _stage_pallas_fwd(blocks, x):
+    return _stage_pallas_op(blocks, x), (blocks, x)
+
+
+def _stage_pallas_bwd(res, g):
+    # Backward = XLA autodiff of the reference block chain (recomputes the
+    # forward — training wraps stages in remat anyway)
+    blocks, x = res
+
+    def chain(bs, v):
+        for b in bs:
+            v = _block_xla(b, v)
+        return v
+
+    _, vjp = jax.vjp(chain, list(blocks), x)
+    db, dx = vjp(g)
+    return list(db), dx
+
+
+_stage_pallas_op.defvjp(_stage_pallas_fwd, _stage_pallas_bwd)
+
+
+def _stage_chain_chunks(blocks, c: int):
+    """Split a stage's block list into VMEM-budgeted chains for the fused
+    stage kernel: all chained blocks' MLP weights must stay resident
+    (2*C*4C bf16 each), alongside the slab/acc/hidden buffers."""
+    per_block = 2 * c * 4 * c * 2  # w1+w2 bf16 bytes
+    budget = 6 * 1024 * 1024
+    k = max(1, min(len(blocks), budget // max(per_block, 1)))
+    return [blocks[i:i + k] for i in range(0, len(blocks), k)]
+
+
+def _apply_stage(blocks, x: jax.Array) -> jax.Array:
+    """Apply a stage's blocks: the fused VMEM-resident stage kernel on the
+    bf16 inference path (GENCONVIT_PALLAS=stage|1 A/B gate), else per-block
+    dispatch."""
+    import os
+
+    mode = os.environ.get("GENCONVIT_PALLAS", "")
+    if (x.dtype == jnp.bfloat16 and mode == "stage"
+            and jax.default_backend() == "tpu" and x.shape[1] >= 7
+            and x.shape[-1] % 128 == 0):
+        # whole-stage VMEM residency — only Mosaic-compilable for C%128==0
+        # shapes (s3/s4); measured slower than the hybrid there, kept for A/B
+        for chunk in _stage_chain_chunks(blocks, x.shape[-1]):
+            x = _stage_pallas_op(chunk, x)
+        return x
+    for blk in blocks:
+        x = _block(blk, x)
+    return x
+
+
 def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
     """[N,H,W,3] -> [N,H/32,W/32,C] feature map (pre-head)."""
     x = conv2d(x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"], stride=4)
@@ -187,8 +246,7 @@ def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
         if ds is not None:
             x = layer_norm(x, ds["norm"]["scale"], ds["norm"]["bias"], eps=_LN_EPS)
             x = conv2d(x, ds["conv"]["kernel"], ds["conv"]["bias"], stride=2)
-        for blk in stage["blocks"]:
-            x = _block(blk, x)
+        x = _apply_stage(stage["blocks"], x)
     return x
 
 

@@ -119,3 +119,77 @@ def test_pallas_block_grad_matches_xla(rng):
         b = ref_grads[0][ka] if kb is None else ref_grads[0][ka][kb]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+STAGE_SHAPES = [(0, 56, 96), (1, 28, 192), (2, 14, 384), (3, 7, 768)]
+
+
+@pytest.mark.parametrize("si,h,c", STAGE_SHAPES)
+def test_fused_stage_kernel_matches_block_chain(rng, si, h, c):
+    """convnext_stage kernel (whole-stage VMEM residency) vs the XLA block
+    chain, interpret mode, all four stage shapes."""
+    from genconvit_tpu.models.convnext import _block_xla
+    from genconvit_tpu.ops.pallas.convnext_stage import fused_convnext_stage
+
+    full = init_convnext(jax.random.PRNGKey(0))
+    blocks = [dict(b) for b in full["stages"][si]["blocks"][:2]]
+    for b in blocks:
+        b["gamma"] = jnp.full((c,), 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, h, h, c)), jnp.bfloat16)
+    ref = x
+    for b in blocks:
+        ref = _block_xla(b, ref)
+    out = fused_convnext_stage(x, blocks, interpret=True)
+    a, bv = np.asarray(ref, np.float32), np.asarray(out, np.float32)
+    rel = np.abs(a - bv).max() / max(np.abs(a).max(), 1e-6)
+    assert rel < 3e-2, f"stage {si}: rel {rel}"
+
+
+@pytest.mark.parametrize("si,h,c", STAGE_SHAPES)
+def test_fused_ln_mlp_residual_matches_block_tail(rng, si, h, c):
+    """convnext_mlp kernel (LN+MLP+scale+residual) after an XLA dwconv vs the
+    reference block, interpret mode."""
+    from genconvit_tpu.models.convnext import _block_xla
+    from genconvit_tpu.ops import conv2d
+    from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
+
+    full = init_convnext(jax.random.PRNGKey(0))
+    blk = dict(full["stages"][si]["blocks"][0])
+    blk["gamma"] = jnp.full((c,), 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, h, h, c)), jnp.bfloat16)
+    ref = _block_xla(blk, x)
+    dw = conv2d(x, blk["conv_dw"]["kernel"], blk["conv_dw"]["bias"],
+                padding=3, groups=c)
+    out = fused_ln_mlp_residual(dw, x, blk, interpret=True)
+    a, bv = np.asarray(ref, np.float32), np.asarray(out, np.float32)
+    rel = np.abs(a - bv).max() / max(np.abs(a).max(), 1e-6)
+    assert rel < 3e-2, f"stage {si}: rel {rel}"
+
+
+def test_fused_stage_grad_matches_xla(rng):
+    """custom-vjp around the stage kernel: backward equals XLA autodiff."""
+    from genconvit_tpu.models.convnext import _block_xla, _stage_pallas_bwd
+
+    full = init_convnext(jax.random.PRNGKey(0))
+    c, h = 96, 28
+    blocks = [dict(full["stages"][0]["blocks"][i]) for i in range(2)]
+    for b in blocks:
+        b["gamma"] = jnp.full((c,), 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, h, h, c)).astype(np.float32))
+
+    def loss_ref(bs, v):
+        for b in bs:
+            v = _block_xla(b, v)
+        return jnp.sum(jnp.square(v))
+
+    ref_val, ref_grads = jax.value_and_grad(loss_ref, argnums=(0, 1))(blocks, x)
+    from genconvit_tpu.ops.pallas.convnext_stage import fused_convnext_stage
+
+    out = fused_convnext_stage(x.astype(jnp.float32), blocks, interpret=True)
+    g = 2.0 * out
+    db, dx = _stage_pallas_bwd((blocks, x), g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(ref_grads[1]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(db[0]["norm"]["scale"]),
+                               np.asarray(ref_grads[0][0]["norm"]["scale"]),
+                               rtol=2e-3, atol=2e-3)

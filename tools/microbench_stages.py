@@ -105,16 +105,62 @@ def main():
         if "pallas" in args.variants:
             variants.append(("pallas", jax.jit(
                 lambda p_, x_: fused_convnext_block(x_, p_))))
+        if "xla3" in args.variants:  # 3-block chain, per-block XLA
+            def chain_xla(p_, x_):
+                for _ in range(3):
+                    x_ = _block_xla_folded(p_, x_)
+                return x_
+            variants.append(("xla3", jax.jit(chain_xla)))
+        if "hybrid" in args.variants:  # XLA dwconv + Pallas LN/MLP/residual
+            from genconvit_tpu.ops import conv2d
+            from genconvit_tpu.ops.pallas.convnext_mlp import \
+                fused_ln_mlp_residual
+
+            def hybrid(p_, x_):
+                dw = conv2d(x_, p_["conv_dw"]["kernel"], p_["conv_dw"]["bias"],
+                            padding=3, groups=x_.shape[-1])
+                return fused_ln_mlp_residual(dw, x_, p_)
+            variants.append(("hybrid", jax.jit(hybrid)))
+        if "hybrid3" in args.variants:  # 3-block hybrid chain
+            from genconvit_tpu.ops import conv2d
+            from genconvit_tpu.ops.pallas.convnext_mlp import \
+                fused_ln_mlp_residual
+
+            def hybrid3(p_, x_):
+                for _ in range(3):
+                    dw = conv2d(x_, p_["conv_dw"]["kernel"],
+                                p_["conv_dw"]["bias"], padding=3,
+                                groups=x_.shape[-1])
+                    x_ = fused_ln_mlp_residual(dw, x_, p_)
+                return x_
+            variants.append(("hybrid3", jax.jit(hybrid3)))
+        if "stage3b" in args.variants:  # 3-block chain, fused stage kernel
+            from genconvit_tpu.ops.pallas.convnext_stage import \
+                fused_convnext_stage
+
+            variants.append(("stage3b", jax.jit(
+                lambda p_, x_: fused_convnext_stage(x_, [p_, p_, p_]))))
         for name, fn in variants:
             try:
                 np.asarray(fn(p, xs[0])[0, 0, 0])  # compile+sync
-                t0 = time.perf_counter()
-                outs = [fn(p, xs[i % 2]) for i in range(args.iters)]
-                np.asarray(jnp.stack([o[0, 0, 0] for o in outs]))
-                dt_s = (time.perf_counter() - t0) / args.iters
-                results[(s, name)] = dt_s * 1e3
+                # wall clocks through the relay are dispatch-contaminated for
+                # sub-10ms kernels; use the device-side op times instead
+                import shutil
+
+                from tools.profile_forward import parse_xplane
+
+                logdir = f"/tmp/gcv_mbs/{s}_{name}"
+                shutil.rmtree(logdir, ignore_errors=True)
+                os.makedirs(logdir, exist_ok=True)
+                with jax.profiler.trace(logdir):
+                    outs = [fn(p, xs[i % 2]) for i in range(args.iters)]
+                    np.asarray(jnp.stack([o[0, 0, 0] for o in outs]))
+                rows, _ = parse_xplane(logdir)
+                dev_ms = sum(t for t, _ in rows.values()) / 1000 / args.iters
+                results[(s, name)] = dev_ms
                 print(f"stage{s} [{n},{h},{h},{c}] {name:7s} "
-                      f"{dt_s*1e3:7.2f} ms/launch", file=sys.stderr, flush=True)
+                      f"{dev_ms:7.2f} ms/launch (device)", file=sys.stderr,
+                      flush=True)
             except Exception as e:
                 print(f"stage{s} {name}: FAILED {type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)

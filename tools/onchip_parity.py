@@ -67,6 +67,20 @@ def main():
         if h >= 28:  # Pallas kernel covers the big stages
             out = fused_convnext_block(x, pc)
             check(f"pallas_block s{si} [{h}x{h}x{c}]", ref, out, 3e-2)
+        # hybrid LN+MLP+residual kernel (all stages)
+        from genconvit_tpu.ops import conv2d
+        from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
+
+        dw = conv2d(x, pc["conv_dw"]["kernel"], pc["conv_dw"]["bias"],
+                    padding=3, groups=c)
+        check(f"pallas_mlp s{si} [{h}x{h}x{c}]",
+              ref, fused_ln_mlp_residual(dw, x, pc), 3e-2)
+        if c % 128 == 0:  # stage kernel: Mosaic-compilable for C%128==0
+            from genconvit_tpu.ops.pallas.convnext_stage import \
+                fused_convnext_stage
+
+            check(f"pallas_stage s{si} [{h}x{h}x{c}]",
+                  ref, fused_convnext_stage(x, [pc]), 3e-2)
 
     # --- window attention (plain + shifted mask) -------------------------
     from genconvit_tpu.models.swin import (_window_attention, init_swin,
