@@ -217,13 +217,86 @@ def _stage_chain_chunks(blocks, c: int):
     return [blocks[i:i + k] for i in range(0, len(blocks), k)]
 
 
+def _pad_block_params(p: Dict, c: int, c_pad: int) -> Dict:
+    """Zero-pad a block's channel-indexed params to c_pad lanes. The zeros
+    keep pad lanes exact end-to-end (see fused_ln_mlp_residual docstring);
+    the pads are O(C^2) weight ops, constant-folded cheap next to the
+    [N,56,56,C] activations."""
+    if c_pad == c:
+        return p
+    pc = c_pad - c
+    return {
+        "conv_dw": {
+            "kernel": jnp.pad(p["conv_dw"]["kernel"], ((0, 0), (0, 0), (0, 0), (0, pc))),
+            "bias": jnp.pad(p["conv_dw"]["bias"], (0, pc)),
+        },
+        "norm": {
+            "scale": jnp.pad(p["norm"]["scale"], (0, pc)),
+            "bias": jnp.pad(p["norm"]["bias"], (0, pc)),
+        },
+        "mlp": {
+            "fc1": {"kernel": jnp.pad(p["mlp"]["fc1"]["kernel"], ((0, pc), (0, 0))),
+                    "bias": p["mlp"]["fc1"]["bias"]},
+            "fc2": {"kernel": jnp.pad(p["mlp"]["fc2"]["kernel"], ((0, 0), (0, pc))),
+                    "bias": jnp.pad(p["mlp"]["fc2"]["bias"], (0, pc))},
+        },
+        "gamma": jnp.pad(p["gamma"], (0, pc)),
+    }
+
+
+@jax.custom_vjp
+def _apply_stage_mlp_kernel(blocks, x: jax.Array) -> jax.Array:
+    """Hybrid stage: XLA depthwise conv + Pallas fused LN/MLP/residual tail
+    per block, with the channel axis zero-padded to a lane multiple of 128
+    for the whole stage (dense panel DMAs; the dw pays ~C_pad/C extra VPU
+    work — measured net win at every stage, tools/microbench_mlp_tail.py +
+    tools/microbench_stages.py)."""
+    c = x.shape[-1]
+    c_pad = -(-c // 128) * 128
+    if c_pad != c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+    for blk in blocks:
+        bp = _pad_block_params(blk, c, c_pad)
+        dw = conv2d(x, bp["conv_dw"]["kernel"].astype(x.dtype),
+                    bp["conv_dw"]["bias"], padding=3, groups=c_pad)
+        from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
+
+        x = fused_ln_mlp_residual(dw, x, bp, real_c=c)
+    return x[..., :c] if c_pad != c else x
+
+
+def _apply_stage_mlp_fwd(blocks, x):
+    return _apply_stage_mlp_kernel(blocks, x), (blocks, x)
+
+
+def _apply_stage_mlp_bwd(res, g):
+    # backward = XLA autodiff of the reference block chain (recomputes the
+    # forward — training wraps stages in remat anyway)
+    blocks, x = res
+
+    def chain(bs, v):
+        for b in bs:
+            v = _block_xla(b, v)
+        return v
+
+    _, vjp = jax.vjp(chain, list(blocks), x)
+    db, dx = vjp(g)
+    return list(db), dx
+
+
+_apply_stage_mlp_kernel.defvjp(_apply_stage_mlp_fwd, _apply_stage_mlp_bwd)
+
+
 def _apply_stage(blocks, x: jax.Array) -> jax.Array:
-    """Apply a stage's blocks: the fused VMEM-resident stage kernel on the
-    bf16 inference path (GENCONVIT_PALLAS=stage|1 A/B gate), else per-block
-    dispatch."""
+    """Apply a stage's blocks: the hybrid XLA-dw + Pallas-MLP-tail path on
+    the bf16 TPU inference path (GENCONVIT_PALLAS=mlp), the fused
+    VMEM-resident stage kernel (=stage), else per-block dispatch."""
     import os
 
     mode = os.environ.get("GENCONVIT_PALLAS", "")
+    if (x.dtype == jnp.bfloat16 and mode == "mlp"
+            and jax.default_backend() == "tpu"):
+        return _apply_stage_mlp_kernel(blocks, x)
     if (x.dtype == jnp.bfloat16 and mode == "stage"
             and jax.default_backend() == "tpu" and x.shape[1] >= 7
             and x.shape[-1] % 128 == 0):

@@ -9,15 +9,27 @@ The ConvNeXt block splits naturally by hardware affinity:
     layout copies; here the hidden lives only in VMEM panels.
 
 This kernel takes the dwconv output and the block input (residual), both
-flattened to [R, C] rows, and processes row panels: per grid step —
-    LN stats over the C lanes (fp32) -> affine -> fc1 (MXU) -> rational-erf
-    GELU (approx reciprocal; error far below bf16 resolution) -> fc2 (MXU)
-    -> layer-scale -> + residual.
+flattened to [R, C] rows, and processes row panels. v2 design notes
+(tools/microbench_mlp_tail.py drove each choice):
+  * LN statistics via VPU lane reductions (skinny MXU `acc @ ones[C,1]`
+    dots were tried and measured slower — N=1 runs the MXU at 1/128
+    utilization);
+  * the LN affine folds into fc1 on the host (wg = gamma_ln * W1 rows,
+    bw = beta @ W1 + b1) and layer-scale into fc2 (w2g = W2 * gamma_ls,
+    b2g = b2 * gamma_ls) — zero in-kernel cost for either;
+  * default-tier rational GELU (ops/pallas/common.py) — the GELU pass over
+    the 4C-wide hidden is the kernel's largest VPU phase;
+  * panels sized so the fp32 hidden stays ~16MB (large panels amortize
+    per-step overhead; Mosaic double-buffers the dw/x/out streams).
 HBM traffic per block = read dwout + read x + write out (3 tensors instead
-of XLA's ~7 passes). Weights stay VMEM-resident across the grid.
+of XLA's ~7 passes). Weights stay VMEM-resident across the grid. Lane-
+aligned C (multiples of 128) DMAs densely; C=96/192 works but pays strided
+DMA — the model-side integration pads those stages (models/convnext.py).
 
 Numerics match models/convnext._block's post-conv tail at bf16 resolution
 (tests/test_pallas.py interpret-mode; tools/onchip_parity.py on-chip).
+Reference being replaced: timm ConvNeXt block MLPs as consumed by ref
+model/genconvit_ed.py:68 / model/genconvit_vae.py:97.
 """
 
 from __future__ import annotations
@@ -30,55 +42,82 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from genconvit_tpu.ops.pallas.convnext_stage import _gelu_f32
+from genconvit_tpu.ops.pallas.common import gelu_f32
 
 _LN_EPS = 1e-6
 
 
-def _mlp_kernel(dw_ref, x_ref, lns, lnb, w1, b1, w2, b2, gam, out_ref,
-                *, c: int, interpret: bool):
+def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
+                out_ref, *, c: int, interpret: bool):
     acc = dw_ref[...].astype(jnp.float32)  # [P, C]
+    # per-row moments via VPU lane reductions. (MXU `acc @ ones[C,1]` dots
+    # were tried and measured SLOWER — N=1 runs the MXU at 1/128 utilization,
+    # ~4.4us per dot per panel vs ~3us for both log-shuffle reduces.)
+    # When the caller channel-pads, pad lanes of dw are exactly zero (zero
+    # dw kernel + zero bias), so plain lane sums with the real-C divisor
+    # stay exact — no mask needed.
+    s1 = jnp.sum(acc, axis=-1, keepdims=True)
+    s2 = jnp.sum(acc * acc, axis=-1, keepdims=True)
     inv_c = jnp.float32(1.0 / c)
-    mean = jnp.sum(acc, axis=-1, keepdims=True) * inv_c
-    var = jnp.sum(jnp.square(acc), axis=-1, keepdims=True) * inv_c \
-        - jnp.square(mean)
-    y = (acc - mean) * jax.lax.rsqrt(var + _LN_EPS)
-    y = y * lns[:].astype(jnp.float32) + lnb[:].astype(jnp.float32)
+    mean = s1 * inv_c                       # [P, 1]
+    var = s2 * inv_c - mean * mean
+    inv = jax.lax.rsqrt(var + _LN_EPS)
     dtype = out_ref.dtype
-    hid = jnp.dot(y.astype(dtype), w1[:], preferred_element_type=jnp.float32)
-    hid = _gelu_f32(hid + b1[:].astype(jnp.float32),
-                    exact_div=interpret).astype(dtype)
-    o = jnp.dot(hid, w2[:], preferred_element_type=jnp.float32)
-    o = (o + b2[:].astype(jnp.float32)) * gam[:].astype(jnp.float32)
-    out_ref[...] = (x_ref[...].astype(jnp.float32) + o).astype(dtype)
+    y = ((acc - mean) * inv).astype(dtype)  # LN affine folded into wg/bw
+    z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
+        + bw_ref[:]
+    h = gelu_f32(z, exact_div=interpret).astype(dtype)
+    o = jnp.dot(h, w2g_ref[:], preferred_element_type=jnp.float32) \
+        + b2g_ref[:]
+    out_ref[...] = x_ref[...] + o.astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "real_c"))
 def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          real_c: int | None = None) -> jax.Array:
     """dw = depthwise-conv output, x = block input (residual), both
     [N,H,W,C]; p = ConvNeXt block params (models/convnext.py layout).
     Returns the block output. Rows must tile into panels — N*H*W is a
-    multiple of 8 for every ConvNeXt stage shape we run."""
+    multiple of 8 for every ConvNeXt stage shape we run.
+
+    real_c: when the caller zero-pads the channel axis to a lane multiple
+    (models/convnext.py pads stage 1/2 to 128/256 for dense DMAs), pass the
+    true channel count. Pad lanes of dw are exactly zero (zero dw kernel +
+    bias), so plain lane sums with the real-C divisor keep the moments
+    exact; pad lanes of the normalized panel hold garbage ((0-mean)*inv)
+    but are annihilated by the zero rows/cols the caller's padded fc1/fc2
+    weights carry, and the padded residual keeps the output's pad lanes at
+    exactly zero."""
     n, h, w, c = x.shape
     rows = n * h * w
     dw2 = dw.reshape(rows, c)
     x2 = x.reshape(rows, c)
-    # panel rows: as large as the f32 hidden buffer allows (~6MB), to
-    # amortize per-grid-step overhead; rows are padded up to a panel multiple
-    # (Mosaic needs sublane-divisible blocks; pad rows are sliced off after
-    # and their LN-of-zeros output is never read)
-    hidden_dim = p["mlp"]["fc1"]["kernel"].shape[1]
-    panel = max(512, min(8192, (6 * 2 ** 20) // (4 * hidden_dim) // 512 * 512))
+    hidden = p["mlp"]["fc1"]["kernel"].shape[1]
+    # panel rows: keep the f32 hidden panel ~8MB (scoped-VMEM headroom for
+    # the bf16 copy + in/out streams under the raised 64MB cap)
+    panel = max(512, min(8192, (8 * 2 ** 20) // (4 * hidden) // 512 * 512))
     panel = min(panel, -(-rows // 8) * 8)
     pad_rows = -rows % panel
     if pad_rows:
         dw2 = jnp.pad(dw2, ((0, pad_rows), (0, 0)))
         x2 = jnp.pad(x2, ((0, pad_rows), (0, 0)))
     rows_p = rows + pad_rows
-    hidden = p["mlp"]["fc1"]["kernel"].shape[1]
     dt = x.dtype
-    kernel = functools.partial(_mlp_kernel, c=c, interpret=interpret)
+
+    # host-side folds (jit-cached alongside the kernel)
+    lns = p["norm"]["scale"].astype(jnp.float32)
+    lnb = p["norm"]["bias"].astype(jnp.float32)
+    w1 = p["mlp"]["fc1"]["kernel"].astype(jnp.float32)
+    gam = p["gamma"].astype(jnp.float32)
+    wg = (lns[:, None] * w1).astype(dt)                   # [C, 4C]
+    bw = lnb @ w1 + p["mlp"]["fc1"]["bias"].astype(jnp.float32)  # [4C]
+    w2g = (p["mlp"]["fc2"]["kernel"].astype(jnp.float32)
+           * gam[None, :]).astype(dt)                      # [4C, C]
+    b2g = p["mlp"]["fc2"]["bias"].astype(jnp.float32) * gam      # [C]
+    rc = real_c if real_c is not None else c
+
+    kernel = functools.partial(_mlp_kernel, c=rc, interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=(rows_p // panel,),
@@ -87,22 +126,20 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((panel, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec((panel, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_p, c), dt),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * c * 2 * hidden,
             bytes_accessed=3 * rows * c * dt.itemsize
             + 2 * c * hidden * dt.itemsize,
             transcendentals=0,
         ),
-    )(dw2, x2,
-      p["norm"]["scale"], p["norm"]["bias"],
-      p["mlp"]["fc1"]["kernel"].astype(dt), p["mlp"]["fc1"]["bias"],
-      p["mlp"]["fc2"]["kernel"].astype(dt), p["mlp"]["fc2"]["bias"],
-      p["gamma"])
+    )(dw2, x2, wg, bw, w2g, b2g)
     if pad_rows:
         out = out[:rows]
     return out.reshape(n, h, w, c)

@@ -41,37 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LN_EPS = 1e-6
 
-# ops/act.py rational erf coefficients (max abs err 8.7e-7 on |z|<=3.625)
-_ERF_P = (1.1283791233432234, 0.2571863689937213, 0.057255831726436376,
-          0.0057354856364086396, 0.00015586043306483894,
-          -1.0666330908322879e-06)
-_ERF_Q = (1.0, 0.5612572789010719, 0.13783698081066592,
-          0.018689943146010534, 0.0013449923247288303)
-_ERF_ZMAX = 3.625
-
 
 def _gelu_f32(h, *, exact_div: bool = False):
-    """GELU (erf form) on fp32 via the rational approximation. In-kernel the
-    division uses the VPU's approximate reciprocal + one Newton step
-    (relative error ~1e-7 after refinement — invisible at bf16)."""
-    z = h * jnp.float32(0.7071067811865476)
-    zc = jnp.clip(z, -_ERF_ZMAX, _ERF_ZMAX)
-    t = zc * zc
-    p = jnp.float32(_ERF_P[-1])
-    for c in _ERF_P[-2::-1]:
-        p = p * t + jnp.float32(c)
-    q = jnp.float32(_ERF_Q[-1])
-    for c in _ERF_Q[-2::-1]:
-        q = q * t + jnp.float32(c)
-    if exact_div:
-        inv_q = 1.0 / q
-    else:
-        r = pl.reciprocal(q, approx=True)
-        inv_q = r * (2.0 - q * r)  # one Newton step
-    e = zc * p * inv_q
-    # |z| beyond the fit range: erf pinned to +-1 (sign via clamped z)
-    e = jnp.where(jnp.abs(z) >= _ERF_ZMAX, jnp.sign(z), e)
-    return jnp.float32(0.5) * h * (jnp.float32(1.0) + e)
+    """hp-tier rational GELU (kept hp here: this kernel's parity tests pin
+    the 8.7e-7 fit); shared implementation in ops/pallas/common.py."""
+    from genconvit_tpu.ops.pallas.common import gelu_f32
+
+    return gelu_f32(h, exact_div=exact_div, hp=True)
 
 
 def _stage_kernel(x_hbm, dwk, dwb, lns, lnb, w1, b1, w2, b2, gam,

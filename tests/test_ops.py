@@ -138,10 +138,14 @@ def test_linear_matches_torch(rng):
 
 class TestFastGelu:
     def test_bf16_exhaustive_vs_exact(self):
-        """The rational-erf GELU over EVERY finite bf16 input in [-300, 300]:
-        each output is within 1 bf16 ulp (2^-7 relative) of the exactly
-        rounded erf GELU, or within 2e-5 absolute in the deep negative tail
-        — invisible against O(1) activations. 98%+ of inputs are bit-equal."""
+        """Both rational-erf GELU tiers over EVERY finite bf16 input in
+        [-300, 300], vs the exactly rounded erf GELU:
+          * hp tier — within 1 bf16 ulp (2^-7 relative) or 2e-5 absolute in
+            the deep negative tail; 98%+ of inputs are bit-equal.
+          * default tier — within 1 ulp or 3e-4 absolute (the documented
+            deg-3/2 fit error, ~15x below bf16 rounding of O(1) values)."""
+        import os
+
         from scipy.special import erf
 
         from genconvit_tpu.ops.act import gelu_fast
@@ -153,12 +157,18 @@ class TestFastGelu:
         exact = 0.5 * x.astype(np.float64) * (1 + erf(x / np.sqrt(2)))
         exact_b = np.asarray(jnp.asarray(exact.astype(np.float32))
                              .astype(jnp.bfloat16).astype(jnp.float32))
-        got_b = np.asarray(gelu_fast(jnp.asarray(x).astype(jnp.bfloat16))
-                           .astype(jnp.float32))
-        diff = np.abs(exact_b - got_b)
-        bound = np.maximum(np.abs(exact_b) * 2.0 ** -7, 2e-5)
-        assert (diff <= bound).all()
-        assert (diff == 0).mean() > 0.98
+        for tier, abs_floor, min_biteq in (("hp", 2e-5, 0.98), ("", 3e-4, 0.90)):
+            os.environ["GENCONVIT_GELU"] = tier
+            try:
+                got_b = np.asarray(
+                    gelu_fast(jnp.asarray(x).astype(jnp.bfloat16))
+                    .astype(jnp.float32))
+            finally:
+                os.environ.pop("GENCONVIT_GELU", None)
+            diff = np.abs(exact_b - got_b)
+            bound = np.maximum(np.abs(exact_b) * 2.0 ** -7, abs_floor)
+            assert (diff <= bound).all(), f"tier={tier or 'default'}"
+            assert (diff == 0).mean() > min_biteq, f"tier={tier or 'default'}"
 
     def test_f32_keeps_exact_erf(self):
         """f32 gelu must stay the exact erf form (torch-oracle comparisons)."""

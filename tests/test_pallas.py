@@ -166,6 +166,35 @@ def test_fused_ln_mlp_residual_matches_block_tail(rng, si, h, c):
     assert rel < 3e-2, f"stage {si}: rel {rel}"
 
 
+@pytest.mark.parametrize("si,h,c", [(0, 56, 96), (1, 28, 192)])
+def test_fused_ln_mlp_padded_channels_matches_block(rng, si, h, c):
+    """The padded-stage integration (models/convnext._apply_stage_mlp_kernel):
+    channels zero-padded to a lane multiple, stats masked via real_c. The
+    sliced output must match the unpadded XLA block, and the pad lanes must
+    stay exactly zero (they feed the next block's depthwise conv)."""
+    from genconvit_tpu.models.convnext import _block_xla, _pad_block_params
+    from genconvit_tpu.ops import conv2d
+    from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
+
+    full = init_convnext(jax.random.PRNGKey(0))
+    blk = dict(full["stages"][si]["blocks"][0])
+    blk["gamma"] = jnp.full((c,), 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, h, h, c)), jnp.bfloat16)
+    ref = _block_xla(blk, x)
+
+    c_pad = -(-c // 128) * 128
+    bp = _pad_block_params(blk, c, c_pad)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+    dw = conv2d(xp, bp["conv_dw"]["kernel"].astype(xp.dtype),
+                bp["conv_dw"]["bias"], padding=3, groups=c_pad)
+    out = fused_ln_mlp_residual(dw, xp, bp, real_c=c, interpret=True)
+    assert not np.asarray(out[..., c:].astype(np.float32)).any()
+    a = np.asarray(ref, np.float32)
+    bv = np.asarray(out[..., :c], np.float32)
+    rel = np.abs(a - bv).max() / max(np.abs(a).max(), 1e-6)
+    assert rel < 3e-2, f"stage {si}: rel {rel}"
+
+
 def test_fused_stage_grad_matches_xla(rng):
     """custom-vjp around the stage kernel: backward equals XLA autodiff."""
     from genconvit_tpu.models.convnext import _block_xla, _stage_pallas_bwd
