@@ -85,6 +85,14 @@ class Predictor:
         if params is None:
             params = self._load_or_init(ed_weight, vae_weight)
         params = live_params(params)
+        if "vae" in params and os.environ.get("GENCONVIT_VAE_HWC", "1") == "1":
+            # fold the torch CHW flatten into the 630M-param latent heads
+            # once at load (saves ~1.6ms/launch of transpose gathers); the
+            # permuted tree is engine-local — checkpoints never see it
+            from genconvit_tpu.models.vae import permute_latent_heads_hwc
+
+            params = dict(params)
+            params["vae"] = permute_latent_heads_hwc(params["vae"])
         if self.dtype == jnp.bfloat16:
             # Pre-cast once: the VAE latent heads alone are ~630M params —
             # casting fp32->bf16 inside every jitted call costs ~4GB of HBM

@@ -287,16 +287,20 @@ def _apply_stage_mlp_bwd(res, g):
 _apply_stage_mlp_kernel.defvjp(_apply_stage_mlp_fwd, _apply_stage_mlp_bwd)
 
 
-def _apply_stage(blocks, x: jax.Array) -> jax.Array:
+def _apply_stage(blocks, x: jax.Array, stage_idx: int = -1) -> jax.Array:
     """Apply a stage's blocks: the hybrid XLA-dw + Pallas-MLP-tail path on
-    the bf16 TPU inference path (GENCONVIT_PALLAS=mlp), the fused
-    VMEM-resident stage kernel (=stage), else per-block dispatch."""
+    the bf16 TPU inference path (GENCONVIT_PALLAS=mlp, or mlp:0,1 to limit
+    to specific 0-based stage indices), the fused VMEM-resident stage kernel
+    (=stage), else per-block dispatch."""
     import os
 
     mode = os.environ.get("GENCONVIT_PALLAS", "")
-    if (x.dtype == jnp.bfloat16 and mode == "mlp"
+    if (x.dtype == jnp.bfloat16 and mode.startswith("mlp")
             and jax.default_backend() == "tpu"):
-        return _apply_stage_mlp_kernel(blocks, x)
+        sel = mode.partition(":")[2]
+        if not sel or str(stage_idx) in sel.split(","):
+            return _apply_stage_mlp_kernel(blocks, x)
+        mode = ""  # fall through to the default path for unselected stages
     if (x.dtype == jnp.bfloat16 and mode == "stage"
             and jax.default_backend() == "tpu" and x.shape[1] >= 7
             and x.shape[-1] % 128 == 0):
@@ -314,12 +318,12 @@ def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
     """[N,H,W,3] -> [N,H/32,W/32,C] feature map (pre-head)."""
     x = conv2d(x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"], stride=4)
     x = layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], eps=_LN_EPS)
-    for stage in params["stages"]:
+    for si, stage in enumerate(params["stages"]):
         ds = stage.get("downsample")
         if ds is not None:
             x = layer_norm(x, ds["norm"]["scale"], ds["norm"]["bias"], eps=_LN_EPS)
             x = conv2d(x, ds["conv"]["kernel"], ds["conv"]["bias"], stride=2)
-        x = _apply_stage(stage["blocks"], x)
+        x = _apply_stage(stage["blocks"], x, si)
     return x
 
 

@@ -84,6 +84,53 @@ def init_vae(key: jax.Array, backbone: str = "convnext_tiny", img_size: int = 22
     return params
 
 
+def permute_latent_heads_hwc(vae_params: Dict) -> Dict:
+    """Inference-time layout optimization: fold the torch CHW flatten into the
+    mu/var head weights so the hot path never materializes a transposed
+    [N, 25088] tensor (profiled ~0.8ms/launch of gather-fused copies each way
+    on the v5e).
+
+      * rows are re-indexed CHW -> HWC, so `x.reshape(n, -1)` (the native
+        NHWC flatten) replaces `x.transpose(0,3,1,2).reshape(n, -1)`;
+      * columns are re-indexed so z comes out in HWC order and the decoder
+        unflattens with a plain `z.reshape(n, s, s, 256)` (vs reshape to
+        (n,256,s,s) + transpose).
+
+    Every z element is the exact same dot product relocated (equal up to
+    fp32 contraction-order rounding, ~1e-7 relative). With eval-time
+    sampling (quirk B3/B4) the iid
+    eps values pair with relocated latent positions — a different but
+    identically-distributed draw. Engine-only (core/checkpoint round-trips
+    never see the permuted tree); presence of 'mu_hwc' selects the path in
+    vae_encode/vae_decode. Ref being optimized: model/genconvit_vae.py:37-41
+    (torch.flatten of NCHW) and :63 (nn.Unflatten(256,7,7))."""
+    import numpy as np
+
+    enc = dict(vae_params["encoder"])
+    flat_n, latent = np.shape(enc["mu"]["kernel"])
+    fh = int(round((flat_n / 128) ** 0.5))
+    s = int(round((latent / 256) ** 0.5))
+    for name in ("mu", "var"):
+        w = np.asarray(enc[name]["kernel"])
+        b = np.asarray(enc[name]["bias"])
+        w = w.reshape(128, fh, fh, latent).transpose(1, 2, 0, 3).reshape(flat_n, latent)
+        w = w.reshape(flat_n, 256, s, s).transpose(0, 2, 3, 1).reshape(flat_n, latent)
+        b = b.reshape(256, s, s).transpose(1, 2, 0).reshape(latent)
+        enc[name + "_hwc"] = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+        del enc[name]
+    out = dict(vae_params)
+    out["encoder"] = enc
+    if isinstance(out.get("decoder"), dict):
+        # updated-VAE variant: its decoder_input Linear consumes z directly,
+        # so its rows get the same CHW -> HWC latent re-index
+        dec = dict(out["decoder"])
+        wi = np.asarray(dec["input"]["kernel"])
+        wi = wi.reshape(256, s, s, -1).transpose(1, 2, 0, 3).reshape(latent, -1)
+        dec["input"] = {"kernel": jnp.asarray(wi), "bias": dec["input"]["bias"]}
+        out["decoder"] = dec
+    return out
+
+
 def vae_encode(
     params: Dict, x: jax.Array, rng: Optional[jax.Array], *,
     sample: bool = True, train: bool = False,
@@ -96,11 +143,17 @@ def vae_encode(
         x, stats = batch_norm(x, bn, train=train)
         new_bn.append(stats)
         x = leaky_relu(x)
-    # torch flattens CHW-order: NHWC -> NCHW -> [N, C*H*W] (conversion-critical)
     n = x.shape[0]
-    flat = x.transpose(0, 3, 1, 2).reshape(n, -1)
-    mu = linear(flat, enc["mu"]["kernel"], enc["mu"]["bias"])
-    logvar = linear(flat, enc["var"]["kernel"], enc["var"]["bias"])
+    if "mu_hwc" in enc:
+        # permuted heads (permute_latent_heads_hwc): native NHWC flatten
+        flat = x.reshape(n, -1)
+        mu = linear(flat, enc["mu_hwc"]["kernel"], enc["mu_hwc"]["bias"])
+        logvar = linear(flat, enc["var_hwc"]["kernel"], enc["var_hwc"]["bias"])
+    else:
+        # torch flattens CHW-order: NHWC -> NCHW -> [N, C*H*W] (conversion-critical)
+        flat = x.transpose(0, 3, 1, 2).reshape(n, -1)
+        mu = linear(flat, enc["mu"]["kernel"], enc["mu"]["bias"])
+        logvar = linear(flat, enc["var"]["kernel"], enc["var"]["bias"])
     # Quirk B4 (reproduced exactly): std derives from the *mu* head, and
     # sampling happens in eval too unless sample=False (our deterministic mode).
     if sample:
@@ -119,10 +172,15 @@ def vae_encode(
 
 def vae_decode(params: Dict, z: jax.Array) -> jax.Array:
     """z: [N, latent] -> [N, s*16, s*16, 3] where s = sqrt(latent/256).
-    The unflatten matches torch's (256, s, s) channel-major view."""
+    The unflatten matches torch's (256, s, s) channel-major view; with the
+    permuted heads (permute_latent_heads_hwc) z already arrives HWC-ordered
+    and unflattens without a transpose."""
     n, latent = z.shape
     s = int(round((latent / 256) ** 0.5))
-    x = z.reshape(n, 256, s, s).transpose(0, 2, 3, 1)  # NCHW view -> NHWC
+    if "mu_hwc" in params.get("encoder", {}):
+        x = z.reshape(n, s, s, 256)
+    else:
+        x = z.reshape(n, 256, s, s).transpose(0, 2, 3, 1)  # NCHW view -> NHWC
     for layer in params["decoder"]:
         x = conv_transpose2d(x, layer["kernel"], layer["bias"], stride=2)
         x = leaky_relu(x)

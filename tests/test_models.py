@@ -178,6 +178,28 @@ class TestGenConViTEnsemble:
         l2, _ = genconvit_apply(params, x, net="vae", sample=False)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
+    def test_vae_hwc_permuted_heads_equivalent(self, small_cfg, rng):
+        """permute_latent_heads_hwc (the engine's load-time latent layout
+        fold) must leave deterministic logits and the reconstruction equal
+        to reduction-order rounding: every z element is the same dot
+        product relocated (the row permutation reorders the fp32
+        contraction), and the decoder unflattens the relocation away."""
+        from genconvit_tpu.models.vae import permute_latent_heads_hwc
+
+        params = init_genconvit(jax.random.PRNGKey(0), small_cfg, "vae")
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+        ref_l, ref_aux = genconvit_apply(params, x, net="vae", sample=False)
+        pp = {"vae": permute_latent_heads_hwc(params["vae"])}
+        got_l, got_aux = genconvit_apply(pp, x, net="vae", sample=False)
+        np.testing.assert_allclose(np.asarray(ref_l), np.asarray(got_l),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_aux["vae_recon"]),
+                                   np.asarray(got_aux["vae_recon"]),
+                                   rtol=1e-5, atol=1e-6)
+        # kl is elementwise-summed -> permutation invariant
+        np.testing.assert_allclose(np.asarray(ref_aux["vae_kl"]),
+                                   np.asarray(got_aux["vae_kl"]), rtol=1e-5)
+
 
 def test_swiglu_head_option(small_cfg):
     from genconvit_tpu.models.ed import ed_apply, init_ed
