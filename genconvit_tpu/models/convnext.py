@@ -248,20 +248,31 @@ def _pad_block_params(p: Dict, c: int, c_pad: int) -> Dict:
 def _apply_stage_mlp_kernel(blocks, x: jax.Array) -> jax.Array:
     """Hybrid stage: XLA depthwise conv + Pallas fused LN/MLP/residual tail
     per block, with the channel axis zero-padded to a lane multiple of 128
-    for the whole stage (dense panel DMAs; the dw pays ~C_pad/C extra VPU
-    work — measured net win at every stage, tools/microbench_mlp_tail.py +
-    tools/microbench_stages.py)."""
+    for the whole stage (dense panel DMAs; the padded conv measured FASTER
+    than the unpadded dw+LN-stats fusion — stats moving into the kernel
+    un-burdens XLA's conv emitter).
+
+    Layout note (profiled, tools/profile_forward.py): the TPU conv emitter
+    prefers a {3,0,2,1} physical layout (C minor, then N, W, H) while the
+    Pallas custom-call pins row-major operands — left alone, XLA inserts a
+    ~2ms relayout copy per stage-1 ensemble block between them. The kernel
+    is per-pixel, so we hand it the logically-transposed [H,W,N,C] view:
+    that transpose of a {3,0,2,1} array IS row-major (a free bitcast), and
+    transposing back feeds the next conv its preferred layout again."""
     c = x.shape[-1]
     c_pad = -(-c // 128) * 128
     if c_pad != c:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+    from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
+
     for blk in blocks:
         bp = _pad_block_params(blk, c, c_pad)
         dw = conv2d(x, bp["conv_dw"]["kernel"].astype(x.dtype),
                     bp["conv_dw"]["bias"], padding=3, groups=c_pad)
-        from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
-
-        x = fused_ln_mlp_residual(dw, x, bp, real_c=c)
+        dw_t = jnp.transpose(dw, (1, 2, 0, 3))
+        x_t = jnp.transpose(x, (1, 2, 0, 3))
+        out_t = fused_ln_mlp_residual(dw_t, x_t, bp, real_c=c)
+        x = jnp.transpose(out_t, (2, 0, 1, 3))
     return x[..., :c] if c_pad != c else x
 
 
@@ -287,16 +298,111 @@ def _apply_stage_mlp_bwd(res, g):
 _apply_stage_mlp_kernel.defvjp(_apply_stage_mlp_fwd, _apply_stage_mlp_bwd)
 
 
+def _layer_norm_padded(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                       real_c: int) -> jax.Array:
+    """LayerNorm over a zero-padded channel axis: pad lanes are exactly zero,
+    so plain lane sums with the real-C divisor give true moments, and the
+    zero-padded scale/bias pin pad lanes back to zero."""
+    x32 = x.astype(jnp.float32)
+    inv_c = 1.0 / real_c
+    mu = jnp.sum(x32, axis=-1, keepdims=True) * inv_c
+    var = jnp.sum(jnp.square(x32), axis=-1, keepdims=True) * inv_c - jnp.square(mu)
+    y = (x32 - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _features_mlp_kernel(params: Dict, x: jax.Array) -> jax.Array:
+    """Full backbone (stem LN onward) in the transposed, channel-padded
+    space: every stage tensor lives as logical [H,W,N,C_pad] whose row-major
+    layout equals the conv emitter's preferred {3,0,2,1} physical layout of
+    the NHWC view — so the transposes around each conv are layout bitcasts,
+    and the Pallas MLP-tail kernels see dense lane-aligned panels. Stem and
+    downsample LNs use the masked-moment form (_layer_norm_padded); all
+    conv/LN/MLP weights are zero-padded so pad lanes stay exactly zero
+    end-to-end. Profiled: removes the ~5ms of per-stage pad+relayout fusions
+    the per-stage kernel path pays (tools/profile_forward.py)."""
+    dims = [s["blocks"][0]["gamma"].shape[0] for s in params["stages"]]
+    c = dims[0]
+    c_pad = -(-c // 128) * 128
+    stem_k = jnp.pad(params["stem"]["conv"]["kernel"], ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+    stem_b = jnp.pad(params["stem"]["conv"]["bias"], (0, c_pad - c))
+    x = conv2d(x, stem_k.astype(x.dtype), stem_b, stride=4)   # [N,H,W,c_pad]
+    t = jnp.transpose(x, (1, 2, 0, 3))                        # [H,W,N,c_pad]
+    t = _layer_norm_padded(
+        t, jnp.pad(params["stem"]["norm"]["scale"], (0, c_pad - c)),
+        jnp.pad(params["stem"]["norm"]["bias"], (0, c_pad - c)), c)
+    from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
+
+    for si, stage in enumerate(params["stages"]):
+        ds = stage.get("downsample")
+        if ds is not None:
+            c_new = dims[si]
+            cn_pad = -(-c_new // 128) * 128
+            t = _layer_norm_padded(
+                t, jnp.pad(ds["norm"]["scale"], (0, c_pad - c)),
+                jnp.pad(ds["norm"]["bias"], (0, c_pad - c)), c)
+            dk = jnp.pad(ds["conv"]["kernel"],
+                         ((0, 0), (0, 0), (0, c_pad - c), (0, cn_pad - c_new)))
+            db = jnp.pad(ds["conv"]["bias"], (0, cn_pad - c_new))
+            xn = jnp.transpose(t, (2, 0, 1, 3))
+            xn = conv2d(xn, dk.astype(xn.dtype), db, stride=2)
+            t = jnp.transpose(xn, (1, 2, 0, 3))
+            c, c_pad = c_new, cn_pad
+        for blk in stage["blocks"]:
+            bp = _pad_block_params(blk, c, c_pad)
+            xn = jnp.transpose(t, (2, 0, 1, 3))
+            dw = conv2d(xn, bp["conv_dw"]["kernel"].astype(xn.dtype),
+                        bp["conv_dw"]["bias"], padding=3, groups=c_pad)
+            dw_t = jnp.transpose(dw, (1, 2, 0, 3))
+            t = fused_ln_mlp_residual(dw_t, t, bp, real_c=c)
+    out = jnp.transpose(t, (2, 0, 1, 3))
+    return out[..., :c] if c_pad != c else out
+
+
+def _features_mlp_fwd(params, x):
+    return _features_mlp_kernel(params, x), (params, x)
+
+
+def _features_mlp_bwd(res, g):
+    # backward = XLA autodiff of the reference features graph (recompute)
+    params, x = res
+
+    def ref(p, v):
+        v = conv2d(v, p["stem"]["conv"]["kernel"], p["stem"]["conv"]["bias"], stride=4)
+        v = layer_norm(v, p["stem"]["norm"]["scale"], p["stem"]["norm"]["bias"], eps=_LN_EPS)
+        for stage in p["stages"]:
+            ds = stage.get("downsample")
+            if ds is not None:
+                v = layer_norm(v, ds["norm"]["scale"], ds["norm"]["bias"], eps=_LN_EPS)
+                v = conv2d(v, ds["conv"]["kernel"], ds["conv"]["bias"], stride=2)
+            for blk in stage["blocks"]:
+                v = _block_xla(blk, v)
+        return v
+
+    _, vjp = jax.vjp(ref, params, x)
+    return vjp(g)
+
+
+_features_mlp_kernel.defvjp(_features_mlp_fwd, _features_mlp_bwd)
+
+
 def _apply_stage(blocks, x: jax.Array, stage_idx: int = -1) -> jax.Array:
-    """Apply a stage's blocks: the hybrid XLA-dw + Pallas-MLP-tail path on
-    the bf16 TPU inference path (GENCONVIT_PALLAS=mlp, or mlp:0,1 to limit
-    to specific 0-based stage indices), the fused VMEM-resident stage kernel
-    (=stage), else per-block dispatch."""
+    """Apply a stage's blocks. bf16 TPU single-device inference DEFAULTS to
+    the hybrid XLA-dw + Pallas-MLP-tail path on every stage (fastest
+    measured configuration, 74.7 -> 66.9 ms/launch on the V=8 ensemble;
+    profile history in STATUS.md). GENCONVIT_PALLAS=0 restores the plain
+    XLA folded path; =mlp[:0,1] forces/limits the hybrid by 0-based stage
+    index (and lifts the single-device guard — the Pallas custom call is
+    opaque to XLA auto-sharding, so multi-device meshes default to the
+    plain graph); =stage/=1 select the older fused-kernel A/B paths."""
     import os
 
     mode = os.environ.get("GENCONVIT_PALLAS", "")
-    if (x.dtype == jnp.bfloat16 and mode.startswith("mlp")
-            and jax.default_backend() == "tpu"):
+    if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+            and (mode.startswith("mlp")
+                 or (mode == "" and jax.device_count() == 1))):
         sel = mode.partition(":")[2]
         if not sel or str(stage_idx) in sel.split(","):
             return _apply_stage_mlp_kernel(blocks, x)
@@ -315,7 +421,17 @@ def _apply_stage(blocks, x: jax.Array, stage_idx: int = -1) -> jax.Array:
 
 
 def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
-    """[N,H,W,3] -> [N,H/32,W/32,C] feature map (pre-head)."""
+    """[N,H,W,3] -> [N,H/32,W/32,C] feature map (pre-head).
+
+    GENCONVIT_PALLAS=mlpfull selects the whole-backbone transposed/padded
+    kernel path (_features_mlp_kernel) — measured ~0.4ms/launch SLOWER than
+    the per-stage hybrid (the masked downsample LN breaks XLA's LN+conv
+    fusion into a materialized f32 convert + relayouts), kept for A/B."""
+    import os
+
+    if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+            and os.environ.get("GENCONVIT_PALLAS", "") == "mlpfull"):
+        return _features_mlp_kernel(params, x)
     x = conv2d(x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"], stride=4)
     x = layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], eps=_LN_EPS)
     for si, stage in enumerate(params["stages"]):

@@ -195,6 +195,27 @@ def test_fused_ln_mlp_padded_channels_matches_block(rng, si, h, c):
     assert rel < 3e-2, f"stage {si}: rel {rel}"
 
 
+def test_features_mlp_kernel_matches_standard(rng):
+    """The full-backbone transposed/padded kernel path
+    (models/convnext._features_mlp_kernel): parity vs the standard features
+    graph at bf16, including masked stem/downsample LNs and a non-square-
+    stage-divisible size is covered by the 64px config (stages 16/8/4/2)."""
+    from genconvit_tpu.models.convnext import (_features_mlp_kernel,
+                                               convnext_features)
+
+    params = init_convnext(jax.random.PRNGKey(0))
+    for s in params["stages"]:
+        for b in s["blocks"]:
+            b["gamma"] = jnp.full_like(b["gamma"], 0.3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.bfloat16)
+    ref = convnext_features(params, x)
+    got = _features_mlp_kernel(params, x)
+    a, bv = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    rel = np.abs(a - bv).max() / max(np.abs(a).max(), 1e-6)
+    assert got.shape == ref.shape
+    assert rel < 5e-2, f"rel {rel}"
+
+
 def test_fused_stage_grad_matches_xla(rng):
     """custom-vjp around the stage kernel: backward equals XLA autodiff."""
     from genconvit_tpu.models.convnext import _block_xla, _stage_pallas_bwd

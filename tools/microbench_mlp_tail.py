@@ -84,7 +84,7 @@ def main():
         gb = 3 * rows * c * 2 / 1e9
         gflop = 2 * 2 * rows * c * 4 * c / 1e9
         print(f"[{n},{h},{h},{c}] tail: {gb*1000:.0f}MB traffic floor "
-              f"{gb/0.8*1e3:.2f}ms, {gflop:.0f}GFLOP mxu floor {gflop/197:.2f}ms")
+              f"{gb/0.8:.2f}ms, {gflop:.0f}GFLOP mxu floor {gflop/197:.2f}ms")
         xs = [(jnp.asarray(rng.standard_normal((n, h, h, c)), jnp.bfloat16),
                jnp.asarray(rng.standard_normal((n, h, h, c)), jnp.bfloat16))
               for _ in range(2)]

@@ -75,6 +75,11 @@ def main():
                     padding=3, groups=c)
         check(f"pallas_mlp s{si} [{h}x{h}x{c}]",
               ref, fused_ln_mlp_residual(dw, x, pc), 3e-2)
+        # padded-channel stage path (the GENCONVIT_PALLAS=mlp integration)
+        from genconvit_tpu.models.convnext import _apply_stage_mlp_kernel
+
+        check(f"pallas_mlp_padded_stage s{si} [{h}x{h}x{c}]",
+              ref, _apply_stage_mlp_kernel([pc], x), 3e-2)
         if c % 128 == 0:  # stage kernel: Mosaic-compilable for C%128==0
             from genconvit_tpu.ops.pallas.convnext_stage import \
                 fused_convnext_stage
