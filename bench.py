@@ -112,24 +112,27 @@ def main():
 
     streamed = 0.0
     v_batch = int(os.environ.get("GENCONVIT_BENCH_YUV_BATCH", "16"))
-    yb = [(
+    if v_batch <= 0:
+        log("yuv stream phase skipped (GENCONVIT_BENCH_YUV_BATCH <= 0)")
+    yb = [] if v_batch <= 0 else [(
         (rng.integers(0, 255, (v_batch, FRAMES, IMG, IMG), np.uint8),
          rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8),
          rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8)),
         yuv_affine("bt709", False),
         np.ones((v_batch, FRAMES), np.float32),
     ) for _ in range(2)]
-    t0 = time.perf_counter()
-    predictor.predict_videos_stream_yuv(iter(yb))
-    log(f"yuv: first call (compile) {time.perf_counter() - t0:.1f}s")
-    s_iters = 8
-    for trial in range(trials):
+    if yb:
         t0 = time.perf_counter()
-        predictor.predict_videos_stream_yuv(yb[i % 2] for i in range(s_iters))
-        dt = time.perf_counter() - t0
-        vps = v_batch * s_iters / dt
-        log(f"yuv stream trial {trial}: {vps:.1f} videos/s")
-        streamed = max(streamed, vps)
+        predictor.predict_videos_stream_yuv(iter(yb))
+        log(f"yuv: first call (compile) {time.perf_counter() - t0:.1f}s")
+        s_iters = 8
+        for trial in range(trials):
+            t0 = time.perf_counter()
+            predictor.predict_videos_stream_yuv(yb[i % 2] for i in range(s_iters))
+            dt = time.perf_counter() - t0
+            vps = v_batch * s_iters / dt
+            log(f"yuv stream trial {trial}: {vps:.1f} videos/s")
+            streamed = max(streamed, vps)
 
     # ---- e2e: decode + preprocess + device on the reference's sample videos
     e2e = None

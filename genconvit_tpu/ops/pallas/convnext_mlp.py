@@ -99,10 +99,21 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
     x2 = x.reshape(rows, c)
     hidden = p["mlp"]["fc1"]["kernel"].shape[1]
     # panel rows: keep the f32 hidden panel ~8MB (scoped-VMEM headroom for
-    # the bf16 copy + in/out streams under the raised 64MB cap)
-    panel = max(512, min(8192, (8 * 2 ** 20) // (4 * hidden) // 512 * 512))
-    panel = min(panel, -(-rows // 8) * 8)
-    pad_rows = -rows % panel
+    # the bf16 copy + in/out streams under the raised 64MB cap), and prefer
+    # an EXACT divisor of rows — a non-divisor panel forces pad+slice copies
+    # around the custom call (~0.6ms each at stage-1 ensemble size when XLA
+    # can't fuse them away). GENCONVIT_MLP_PANEL overrides the MB budget for
+    # tuning (tools/microbench_mlp_tail.py; sweep showed a flat optimum
+    # 4-16MB, so divisibility dominates).
+    import os
+
+    budget_mb = int(os.environ.get("GENCONVIT_MLP_PANEL", "0")) or 8
+    cap = max(512, min(8192, (budget_mb * 2 ** 20) // (4 * hidden) // 512 * 512))
+    cap = min(cap, -(-rows // 8) * 8)
+    panel = next((d for d in range(cap, 511, -8) if rows % d == 0), 0)
+    pad_rows = 0 if panel else -rows % cap
+    if not panel:
+        panel = cap
     if pad_rows:
         dw2 = jnp.pad(dw2, ((0, pad_rows), (0, 0)))
         x2 = jnp.pad(x2, ((0, pad_rows), (0, 0)))
