@@ -335,14 +335,14 @@ def _features_mlp_kernel(params: Dict, x: jax.Array) -> jax.Array:
         jnp.pad(params["stem"]["norm"]["bias"], (0, c_pad - c)), c)
     from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
 
+    n_stages = len(params["stages"])
     for si, stage in enumerate(params["stages"]):
         ds = stage.get("downsample")
         if ds is not None:
+            # the downsample LN already ran fused into the previous stage's
+            # last kernel (post_ln below) — conv directly
             c_new = dims[si]
             cn_pad = -(-c_new // 128) * 128
-            t = _layer_norm_padded(
-                t, jnp.pad(ds["norm"]["scale"], (0, c_pad - c)),
-                jnp.pad(ds["norm"]["bias"], (0, c_pad - c)), c)
             dk = jnp.pad(ds["conv"]["kernel"],
                          ((0, 0), (0, 0), (0, c_pad - c), (0, cn_pad - c_new)))
             db = jnp.pad(ds["conv"]["bias"], (0, cn_pad - c_new))
@@ -350,13 +350,18 @@ def _features_mlp_kernel(params: Dict, x: jax.Array) -> jax.Array:
             xn = conv2d(xn, dk.astype(xn.dtype), db, stride=2)
             t = jnp.transpose(xn, (1, 2, 0, 3))
             c, c_pad = c_new, cn_pad
-        for blk in stage["blocks"]:
+        for bi, blk in enumerate(stage["blocks"]):
             bp = _pad_block_params(blk, c, c_pad)
             xn = jnp.transpose(t, (2, 0, 1, 3))
             dw = conv2d(xn, bp["conv_dw"]["kernel"].astype(xn.dtype),
                         bp["conv_dw"]["bias"], padding=3, groups=c_pad)
             dw_t = jnp.transpose(dw, (1, 2, 0, 3))
-            t = fused_ln_mlp_residual(dw_t, t, bp, real_c=c)
+            post_ln = None
+            if bi == len(stage["blocks"]) - 1 and si + 1 < n_stages:
+                nxt = params["stages"][si + 1]["downsample"]["norm"]
+                post_ln = (jnp.pad(nxt["scale"], (0, c_pad - c)),
+                           jnp.pad(nxt["bias"], (0, c_pad - c)))
+            t = fused_ln_mlp_residual(dw_t, t, bp, real_c=c, post_ln=post_ln)
     out = jnp.transpose(t, (2, 0, 1, 3))
     return out[..., :c] if c_pad != c else out
 
@@ -389,20 +394,17 @@ _features_mlp_kernel.defvjp(_features_mlp_fwd, _features_mlp_bwd)
 
 
 def _apply_stage(blocks, x: jax.Array, stage_idx: int = -1) -> jax.Array:
-    """Apply a stage's blocks. bf16 TPU single-device inference DEFAULTS to
-    the hybrid XLA-dw + Pallas-MLP-tail path on every stage (fastest
-    measured configuration, 74.7 -> 66.9 ms/launch on the V=8 ensemble;
-    profile history in STATUS.md). GENCONVIT_PALLAS=0 restores the plain
-    XLA folded path; =mlp[:0,1] forces/limits the hybrid by 0-based stage
-    index (and lifts the single-device guard — the Pallas custom call is
-    opaque to XLA auto-sharding, so multi-device meshes default to the
-    plain graph); =stage/=1 select the older fused-kernel A/B paths."""
+    """Apply a stage's blocks. The bf16-TPU default never reaches here (the
+    whole-backbone kernel path intercepts in convnext_features);
+    GENCONVIT_PALLAS=mlp[:0,1] selects the per-stage hybrid XLA-dw +
+    Pallas-MLP-tail path by 0-based stage index (59.2 ms/launch vs the
+    55.5 default, STATUS.md); =stage/=1 select the older fused-kernel A/B
+    paths; anything else (incl. =0) is the plain XLA folded dispatch."""
     import os
 
     mode = os.environ.get("GENCONVIT_PALLAS", "")
     if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
-            and (mode.startswith("mlp")
-                 or (mode == "" and jax.device_count() == 1))):
+            and mode.startswith("mlp") and mode != "mlpfull"):
         sel = mode.partition(":")[2]
         if not sel or str(stage_idx) in sel.split(","):
             return _apply_stage_mlp_kernel(blocks, x)
@@ -423,14 +425,18 @@ def _apply_stage(blocks, x: jax.Array, stage_idx: int = -1) -> jax.Array:
 def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
     """[N,H,W,3] -> [N,H/32,W/32,C] feature map (pre-head).
 
-    GENCONVIT_PALLAS=mlpfull selects the whole-backbone transposed/padded
-    kernel path (_features_mlp_kernel) — measured ~0.4ms/launch SLOWER than
-    the per-stage hybrid (the masked downsample LN breaks XLA's LN+conv
-    fusion into a materialized f32 convert + relayouts), kept for A/B."""
+    bf16 TPU single-device inference DEFAULTS to the whole-backbone
+    transposed/padded kernel path (_features_mlp_kernel) — fastest measured:
+    55.5 ms/launch on the V=8 ensemble vs 59.2 for the per-stage hybrid
+    (GENCONVIT_PALLAS=mlp[:stages]) and 74.7 for plain XLA
+    (GENCONVIT_PALLAS=0). Single-device only by default: the Pallas custom
+    call is opaque to XLA auto-sharding; =mlpfull forces it regardless."""
     import os
 
+    mode = os.environ.get("GENCONVIT_PALLAS", "")
     if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
-            and os.environ.get("GENCONVIT_PALLAS", "") == "mlpfull"):
+            and (mode == "mlpfull"
+                 or (mode == "" and jax.device_count() == 1))):
         return _features_mlp_kernel(params, x)
     x = conv2d(x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"], stride=4)
     x = layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], eps=_LN_EPS)

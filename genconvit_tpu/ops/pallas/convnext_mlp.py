@@ -47,21 +47,25 @@ from genconvit_tpu.ops.pallas.common import gelu_f32
 _LN_EPS = 1e-6
 
 
-def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
-                out_ref, *, c: int, interpret: bool):
-    acc = dw_ref[...].astype(jnp.float32)  # [P, C]
-    # per-row moments via VPU lane reductions. (MXU `acc @ ones[C,1]` dots
-    # were tried and measured SLOWER — N=1 runs the MXU at 1/128 utilization,
-    # ~4.4us per dot per panel vs ~3us for both log-shuffle reduces.)
-    # When the caller channel-pads, pad lanes of dw are exactly zero (zero
-    # dw kernel + zero bias), so plain lane sums with the real-C divisor
-    # stay exact — no mask needed.
-    s1 = jnp.sum(acc, axis=-1, keepdims=True)
-    s2 = jnp.sum(acc * acc, axis=-1, keepdims=True)
+def _row_moments(v32, c: int):
+    """(mean, rsqrt(var+eps)) over the lane axis with a real-C divisor.
+    VPU lane reductions. (MXU `v @ ones[C,1]` dots were tried and measured
+    SLOWER — N=1 runs the MXU at 1/128 utilization, ~4.4us per dot per
+    panel vs ~3us for both log-shuffle reduces.) When the caller channel-
+    pads, pad lanes are exactly zero, so plain lane sums with the real-C
+    divisor stay exact — no mask needed."""
+    s1 = jnp.sum(v32, axis=-1, keepdims=True)
+    s2 = jnp.sum(v32 * v32, axis=-1, keepdims=True)
     inv_c = jnp.float32(1.0 / c)
     mean = s1 * inv_c                       # [P, 1]
     var = s2 * inv_c - mean * mean
-    inv = jax.lax.rsqrt(var + _LN_EPS)
+    return mean, jax.lax.rsqrt(var + _LN_EPS)
+
+
+def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
+                out_ref, *, c: int, interpret: bool):
+    acc = dw_ref[...].astype(jnp.float32)  # [P, C]
+    mean, inv = _row_moments(acc, c)
     dtype = out_ref.dtype
     y = ((acc - mean) * inv).astype(dtype)  # LN affine folded into wg/bw
     z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
@@ -72,10 +76,34 @@ def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
     out_ref[...] = x_ref[...] + o.astype(dtype)
 
 
+def _mlp_kernel_post_ln(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
+                        lns2_ref, lnb2_ref, out_ref, *, c: int,
+                        interpret: bool):
+    """_mlp_kernel + a fused LayerNorm on the block OUTPUT (the next
+    stage's downsample norm): lets the padded/transposed backbone feed the
+    downsample conv directly, with no standalone masked-LN op for XLA to
+    mis-fuse (ops cost ~2 extra reduces per panel vs the ~1ms/stage
+    convert+relayout chain it replaces)."""
+    acc = dw_ref[...].astype(jnp.float32)
+    mean, inv = _row_moments(acc, c)
+    dtype = out_ref.dtype
+    y = ((acc - mean) * inv).astype(dtype)
+    z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
+        + bw_ref[:]
+    h = gelu_f32(z, exact_div=interpret).astype(dtype)
+    o = jnp.dot(h, w2g_ref[:], preferred_element_type=jnp.float32) \
+        + b2g_ref[:]
+    out = x_ref[...].astype(jnp.float32) + o
+    m2, inv2 = _row_moments(out, c)
+    ln = (out - m2) * inv2 * lns2_ref[:] + lnb2_ref[:]
+    out_ref[...] = ln.astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "real_c"))
 def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
                           interpret: bool = False,
-                          real_c: int | None = None) -> jax.Array:
+                          real_c: int | None = None,
+                          post_ln: tuple | None = None) -> jax.Array:
     """dw = depthwise-conv output, x = block input (residual), both
     [N,H,W,C]; p = ConvNeXt block params (models/convnext.py layout).
     Returns the block output. Rows must tile into panels — N*H*W is a
@@ -132,7 +160,14 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
     b2g = p["mlp"]["fc2"]["bias"].astype(jnp.float32) * gam      # [C]
     rc = real_c if real_c is not None else c
 
-    kernel = functools.partial(_mlp_kernel, c=rc, interpret=interpret)
+    extra = ()
+    if post_ln is not None:
+        kernel = functools.partial(_mlp_kernel_post_ln, c=rc,
+                                   interpret=interpret)
+        lns2, lnb2 = post_ln
+        extra = (lns2.astype(jnp.float32), lnb2.astype(jnp.float32))
+    else:
+        kernel = functools.partial(_mlp_kernel, c=rc, interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=(rows_p // panel,),
@@ -141,7 +176,7 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((panel, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + len(extra)),
         out_specs=pl.BlockSpec((panel, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_p, c), dt),
@@ -154,7 +189,7 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
             + 2 * c * hidden * dt.itemsize,
             transcendentals=0,
         ),
-    )(dw2, x2, wg, bw, w2g, b2g)
+    )(dw2, x2, wg, bw, w2g, b2g, *extra)
     if pad_rows:
         out = out[:rows]
     return out.reshape(n, h, w, c)
