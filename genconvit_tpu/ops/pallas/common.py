@@ -17,8 +17,12 @@ from genconvit_tpu.ops.act import (_ERF_P, _ERF_P_LO, _ERF_Q, _ERF_Q_LO,
                                    _ERF_ZMAX, _ERF_ZMAX_LO)
 
 
-def gelu_f32(h, *, exact_div: bool = False, hp: bool = False):
-    """GELU (erf form) on an fp32 array via the rational approximation."""
+def gelu_f32(h, *, exact_div: bool = False, hp: bool = False,
+             newton: bool = True):
+    """GELU (erf form) on an fp32 array via the rational approximation.
+    newton=False skips the reciprocal's Newton refinement (raw VPU approx
+    reciprocal is ~6e-5 relative — still ~60x below bf16 resolution; saves
+    two ops per element on the 4C-wide hidden)."""
     pc, qc, zmax = ((_ERF_P, _ERF_Q, _ERF_ZMAX) if hp
                     else (_ERF_P_LO, _ERF_Q_LO, _ERF_ZMAX_LO))
     z = h * jnp.float32(0.7071067811865476)
@@ -33,8 +37,9 @@ def gelu_f32(h, *, exact_div: bool = False, hp: bool = False):
     if exact_div:
         inv_q = 1.0 / q
     else:
-        r = pl.reciprocal(q, approx=True)
-        inv_q = r * (2.0 - q * r)  # one Newton step
+        inv_q = pl.reciprocal(q, approx=True)
+        if newton:
+            inv_q = inv_q * (2.0 - q * inv_q)
     e = zc * p * inv_q
     # |z| beyond the fit range: erf pinned to +-1 (load-bearing — see
     # act._erf_rational; the clamped-P/Q residual would scale with |h|)

@@ -70,7 +70,7 @@ def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
     y = ((acc - mean) * inv).astype(dtype)  # LN affine folded into wg/bw
     z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
         + bw_ref[:]
-    h = gelu_f32(z, exact_div=interpret).astype(dtype)
+    h = gelu_f32(z, exact_div=interpret, newton=False).astype(dtype)
     o = jnp.dot(h, w2g_ref[:], preferred_element_type=jnp.float32) \
         + b2g_ref[:]
     out_ref[...] = x_ref[...] + o.astype(dtype)
@@ -90,7 +90,7 @@ def _mlp_kernel_post_ln(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
     y = ((acc - mean) * inv).astype(dtype)
     z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
         + bw_ref[:]
-    h = gelu_f32(z, exact_div=interpret).astype(dtype)
+    h = gelu_f32(z, exact_div=interpret, newton=False).astype(dtype)
     o = jnp.dot(h, w2g_ref[:], preferred_element_type=jnp.float32) \
         + b2g_ref[:]
     out = x_ref[...].astype(jnp.float32) + o
