@@ -298,6 +298,28 @@ def _apply_stage_mlp_bwd(res, g):
 _apply_stage_mlp_kernel.defvjp(_apply_stage_mlp_fwd, _apply_stage_mlp_bwd)
 
 
+_KERNEL_SCOPE = __import__("contextvars").ContextVar("gcv_kernel_scope",
+                                                     default=False)
+
+
+def kernel_backbone_scope():
+    """Context manager: while tracing inside it, convnext_features takes the
+    Pallas kernel backbone even on multi-device processes. For manual-
+    sharding contexts (shard_map) where every shard traces with local
+    shapes, so the custom call is safe — XLA auto-sharding never sees it."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        tok = _KERNEL_SCOPE.set(True)
+        try:
+            yield
+        finally:
+            _KERNEL_SCOPE.reset(tok)
+
+    return scope()
+
+
 def _layer_norm_padded(x: jax.Array, scale: jax.Array, bias: jax.Array,
                        real_c: int) -> jax.Array:
     """LayerNorm over a zero-padded channel axis: pad lanes are exactly zero,
@@ -430,13 +452,16 @@ def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
     55.5 ms/launch on the V=8 ensemble vs 59.2 for the per-stage hybrid
     (GENCONVIT_PALLAS=mlp[:stages]) and 74.7 for plain XLA
     (GENCONVIT_PALLAS=0). Single-device only by default: the Pallas custom
-    call is opaque to XLA auto-sharding; =mlpfull forces it regardless."""
+    call is opaque to XLA *auto*-sharding; =mlpfull forces it, and
+    kernel_backbone_scope() (the shard_map data-parallel eval path, where
+    each shard traces with local shapes) enables it per-trace."""
     import os
 
     mode = os.environ.get("GENCONVIT_PALLAS", "")
     if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
             and (mode == "mlpfull"
-                 or (mode == "" and jax.device_count() == 1))):
+                 or (mode == "" and (jax.device_count() == 1
+                                     or _KERNEL_SCOPE.get())))):
         return _features_mlp_kernel(params, x)
     x = conv2d(x, params["stem"]["conv"]["kernel"], params["stem"]["conv"]["bias"], stride=4)
     x = layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], eps=_LN_EPS)

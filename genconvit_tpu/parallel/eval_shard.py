@@ -45,6 +45,37 @@ def sharded_params(predictor: Predictor, mesh, tensor_parallel: bool):
     return cache[key]
 
 
+def _shard_map_forward(predictor: Predictor, mesh, num_frames: int):
+    """Data-parallel forward via shard_map: each 'data' shard traces with
+    LOCAL shapes, so the Pallas kernel backbone (opaque to XLA
+    auto-sharding) stays usable — single-chip and sharded eval run the same
+    fast path. Per-shard rngs are folded from the axis index (each shard's
+    eval-time VAE sampling draw is independent, matching the per-video iid
+    semantics of the unsharded path). Cached per (mesh, frames)."""
+    key = ("shard_map", tuple(d.id for d in mesh.devices.flat), num_frames)
+    cache = getattr(predictor, "_shard_map_cache", None)
+    if cache is None:
+        cache = predictor._shard_map_cache = {}
+    if key not in cache:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from genconvit_tpu.models.convnext import kernel_backbone_scope
+
+        fn = predictor._forward_fn(num_frames, batched=True)
+
+        def local_fwd(params, fb, mk, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            with kernel_backbone_scope():
+                return fn(params, fb, mk, rng)
+
+        cache[key] = jax.jit(shard_map(
+            local_fwd, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data")), check_rep=False))
+    return cache[key]
+
+
 def predict_sharded(
     predictor: Predictor,
     faces_batch: np.ndarray,   # [V, F, S, S, 3] uint8
@@ -55,8 +86,10 @@ def predict_sharded(
     """Score V videos with the video axis sharded across mesh 'data'.
 
     V is padded up to a multiple of the data-axis size (padded rows carry
-    zero masks and are dropped from the result).
-    """
+    zero masks and are dropped from the result). Data-parallel-only meshes
+    run through shard_map (keeps the Pallas kernel backbone usable on TPU);
+    tensor_parallel=True uses GSPMD auto-sharding with the TP
+    PartitionSpecs (plain-graph backbone)."""
     mesh = mesh or make_mesh()
     ndata = mesh.shape["data"]
     v = faces_batch.shape[0]
@@ -70,6 +103,11 @@ def predict_sharded(
     sh = batch_sharding(mesh)
     fb = jax.device_put(faces_batch, sh)
     mk = jax.device_put(masks, sh)
-    fn = predictor._forward_fn(faces_batch.shape[1], batched=True)
-    y, y_val = fn(params, fb, mk, predictor._next_rng())
+    if not tensor_parallel and mesh.shape.get("model", 1) == 1:
+        fn = _shard_map_forward(predictor, mesh, faces_batch.shape[1])
+        with mesh:
+            y, y_val = fn(params, fb, mk, predictor._next_rng())
+    else:
+        fn = predictor._forward_fn(faces_batch.shape[1], batched=True)
+        y, y_val = fn(params, fb, mk, predictor._next_rng())
     return np.asarray(y)[:v], np.asarray(y_val)[:v]

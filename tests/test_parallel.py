@@ -74,6 +74,20 @@ def test_sharded_eval_matches_unsharded(small_cfg, rng):
     np.testing.assert_allclose(vals, vals_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_eval_uses_shard_map_for_dp(small_cfg, rng):
+    """DP-only meshes must route through the shard_map forward (the path
+    that keeps the Pallas kernel backbone usable on TPU meshes); TP meshes
+    keep GSPMD auto-sharding."""
+    p = Predictor(small_cfg, net="ed", face_backend="fullframe")
+    faces = (rng.random((2, 3, 64, 64, 3)) * 255).astype(np.uint8)
+    masks = np.ones((2, 3), np.float32)
+    predict_sharded(p, faces, masks, make_mesh(data=8, model=1))
+    assert len(getattr(p, "_shard_map_cache", {})) == 1
+    predict_sharded(p, faces, masks, make_mesh(data=4, model=2),
+                    tensor_parallel=True)
+    assert len(p._shard_map_cache) == 1  # TP path did not add an entry
+
+
 def test_sharded_params_cached_across_calls(small_cfg, rng):
     """The full param tree must be resharded ONCE per mesh, not per call —
     the VAE latent heads are ~630M elements in production."""
