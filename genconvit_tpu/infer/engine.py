@@ -93,6 +93,14 @@ class Predictor:
 
             params = dict(params)
             params["vae"] = permute_latent_heads_hwc(params["vae"])
+        if "vae" in params and os.environ.get("GENCONVIT_INT8_HEADS") == "1":
+            # opt-in weight-only int8 for the 630M-param latent heads
+            # (models/vae.quantize_latent_heads_int8 — halves their
+            # weight-read bandwidth; ~0.4%-of-column-max rounding)
+            from genconvit_tpu.models.vae import quantize_latent_heads_int8
+
+            params = dict(params)
+            params["vae"] = quantize_latent_heads_int8(params["vae"])
         if self.dtype == jnp.bfloat16:
             # Pre-cast once: the VAE latent heads alone are ~630M params —
             # casting fp32->bf16 inside every jitted call costs ~4GB of HBM

@@ -352,10 +352,12 @@ def _features_mlp_kernel(params: Dict, x: jax.Array) -> jax.Array:
     stem_b = jnp.pad(params["stem"]["conv"]["bias"], (0, c_pad - c))
     x = conv2d(x, stem_k.astype(x.dtype), stem_b, stride=4)   # [N,H,W,c_pad]
     t = jnp.transpose(x, (1, 2, 0, 3))                        # [H,W,N,c_pad]
-    t = _layer_norm_padded(
+    from genconvit_tpu.ops.pallas.convnext_mlp import (fused_ln_mlp_residual,
+                                                       layer_norm_rows)
+
+    t = layer_norm_rows(
         t, jnp.pad(params["stem"]["norm"]["scale"], (0, c_pad - c)),
-        jnp.pad(params["stem"]["norm"]["bias"], (0, c_pad - c)), c)
-    from genconvit_tpu.ops.pallas.convnext_mlp import fused_ln_mlp_residual
+        jnp.pad(params["stem"]["norm"]["bias"], (0, c_pad - c)), real_c=c)
 
     n_stages = len(params["stages"])
     for si, stage in enumerate(params["stages"]):

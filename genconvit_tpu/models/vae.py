@@ -131,6 +131,38 @@ def permute_latent_heads_hwc(vae_params: Dict) -> Dict:
     return out
 
 
+def quantize_latent_heads_int8(vae_params: Dict) -> Dict:
+    """Weight-only int8 for the 630M-param latent heads (engine load step,
+    opt-in via GENCONVIT_INT8_HEADS=1): the mu matmul is pure weight-read
+    bandwidth at inference (M=V*F rows), so int8 halves its time. Symmetric
+    per-output-column scales keep the matmul exact in the scale; rounding is
+    ~0.4% of each column max — same order as the bf16 weight cast the
+    default path applies, documented as a deviation. Runs after
+    permute_latent_heads_hwc (quantizes whichever layout is present)."""
+    enc = dict(vae_params["encoder"])
+    from genconvit_tpu.ops.pallas.int8_matmul import quantize_wint8
+
+    for name in ("mu_hwc", "var_hwc", "mu", "var"):
+        if name in enc:
+            wq, s = quantize_wint8(enc[name]["kernel"])
+            enc[name + "_q"] = {"wq": jnp.asarray(wq),
+                                "scale": jnp.asarray(s),
+                                "bias": enc[name]["bias"]}
+            del enc[name]
+    out = dict(vae_params)
+    out["encoder"] = enc
+    return out
+
+
+def _latent_head(enc: Dict, flat: jax.Array, name: str) -> jax.Array:
+    q = enc.get(name + "_q")
+    if q is not None:
+        from genconvit_tpu.ops.pallas.int8_matmul import matmul_wint8
+
+        return matmul_wint8(flat, q["wq"], q["scale"], q["bias"])
+    return linear(flat, enc[name]["kernel"], enc[name]["bias"])
+
+
 def vae_encode(
     params: Dict, x: jax.Array, rng: Optional[jax.Array], *,
     sample: bool = True, train: bool = False,
@@ -144,11 +176,15 @@ def vae_encode(
         new_bn.append(stats)
         x = leaky_relu(x)
     n = x.shape[0]
-    if "mu_hwc" in enc:
+    if "mu_hwc" in enc or "mu_hwc_q" in enc:
         # permuted heads (permute_latent_heads_hwc): native NHWC flatten
         flat = x.reshape(n, -1)
-        mu = linear(flat, enc["mu_hwc"]["kernel"], enc["mu_hwc"]["bias"])
-        logvar = linear(flat, enc["var_hwc"]["kernel"], enc["var_hwc"]["bias"])
+        mu = _latent_head(enc, flat, "mu_hwc")
+        logvar = _latent_head(enc, flat, "var_hwc")
+    elif "mu_q" in enc:
+        flat = x.transpose(0, 3, 1, 2).reshape(n, -1)
+        mu = _latent_head(enc, flat, "mu")
+        logvar = _latent_head(enc, flat, "var")
     else:
         # torch flattens CHW-order: NHWC -> NCHW -> [N, C*H*W] (conversion-critical)
         flat = x.transpose(0, 3, 1, 2).reshape(n, -1)
@@ -177,7 +213,8 @@ def vae_decode(params: Dict, z: jax.Array) -> jax.Array:
     and unflattens without a transpose."""
     n, latent = z.shape
     s = int(round((latent / 256) ** 0.5))
-    if "mu_hwc" in params.get("encoder", {}):
+    enc = params.get("encoder", {})
+    if "mu_hwc" in enc or "mu_hwc_q" in enc:
         x = z.reshape(n, s, s, 256)
     else:
         x = z.reshape(n, 256, s, s).transpose(0, 2, 3, 1)  # NCHW view -> NHWC

@@ -99,6 +99,69 @@ def _mlp_kernel_post_ln(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
     out_ref[...] = ln.astype(dtype)
 
 
+def _ln_rows_kernel(x_ref, s_ref, b_ref, out_ref, *, c: int):
+    v = x_ref[...].astype(jnp.float32)
+    mean, inv = _row_moments(v, c)
+    out_ref[...] = ((v - mean) * inv * s_ref[:] + b_ref[:]).astype(out_ref.dtype)
+
+
+def _pick_panel(rows: int, hidden_f32_cols: int, budget_mb: int = 8):
+    """Largest multiple-of-8 divisor of rows under the VMEM budget; falls
+    back to (cap, pad_rows) when no divisor exists (see fused_ln_mlp_residual
+    docstring — non-divisor panels cost pad+slice copies)."""
+    cap = max(512, min(8192,
+                       (budget_mb * 2 ** 20) // (4 * hidden_f32_cols) // 512 * 512))
+    cap = min(cap, -(-rows // 8) * 8)
+    panel = next((d for d in range(cap, 511, -8) if rows % d == 0), 0)
+    if panel:
+        return panel, 0
+    return cap, -rows % cap
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "real_c"))
+def layer_norm_rows(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                    real_c: int | None = None,
+                    interpret: bool = False) -> jax.Array:
+    """Row-wise LayerNorm over the last axis as a Pallas kernel: [..., C]
+    with moments over real_c (pad lanes exactly zero, zero-padded affine
+    pins them back to zero — same contract as fused_ln_mlp_residual).
+    Used for the stem LN of the kernel backbone (models/convnext.py); the
+    XLA masked-LN emission costs ~0.9ms/launch in f32 reduce fusions."""
+    shape = x.shape
+    c = shape[-1]
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    rows = 1
+    for d in shape[:-1]:
+        rows *= d
+    x2 = x.reshape(rows, c)
+    panel, pad_rows = _pick_panel(rows, c)
+    if pad_rows:
+        x2 = jnp.pad(x2, ((0, pad_rows), (0, 0)))
+    rc = real_c if real_c is not None else c
+    out = pl.pallas_call(
+        functools.partial(_ln_rows_kernel, c=rc),
+        grid=((rows + pad_rows) // panel,),
+        in_specs=[
+            pl.BlockSpec((panel, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((panel, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows + pad_rows, c), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * c, bytes_accessed=2 * rows * c * x.dtype.itemsize,
+            transcendentals=0),
+    )(x2, scale.astype(jnp.float32), bias.astype(jnp.float32))
+    if pad_rows:
+        out = out[:rows]
+    return out.reshape(shape)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "real_c"))
 def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
                           interpret: bool = False,
@@ -136,12 +199,7 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
     import os
 
     budget_mb = int(os.environ.get("GENCONVIT_MLP_PANEL", "0")) or 8
-    cap = max(512, min(8192, (budget_mb * 2 ** 20) // (4 * hidden) // 512 * 512))
-    cap = min(cap, -(-rows // 8) * 8)
-    panel = next((d for d in range(cap, 511, -8) if rows % d == 0), 0)
-    pad_rows = 0 if panel else -rows % cap
-    if not panel:
-        panel = cap
+    panel, pad_rows = _pick_panel(rows, hidden, budget_mb)
     if pad_rows:
         dw2 = jnp.pad(dw2, ((0, pad_rows), (0, 0)))
         x2 = jnp.pad(x2, ((0, pad_rows), (0, 0)))

@@ -178,6 +178,26 @@ class TestGenConViTEnsemble:
         l2, _ = genconvit_apply(params, x, net="vae", sample=False)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
+    def test_vae_int8_latent_heads_close(self, small_cfg, rng):
+        """quantize_latent_heads_int8 (GENCONVIT_INT8_HEADS=1): deterministic
+        logits from the weight-only int8 mu head must track the exact head
+        within quantization tolerance, through the hwc-permuted layout (the
+        engine applies both folds)."""
+        from genconvit_tpu.models.vae import (permute_latent_heads_hwc,
+                                              quantize_latent_heads_int8)
+
+        params = init_genconvit(jax.random.PRNGKey(0), small_cfg, "vae")
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+        ref_l, ref_aux = genconvit_apply(params, x, net="vae", sample=False)
+        pv = quantize_latent_heads_int8(permute_latent_heads_hwc(params["vae"]))
+        assert "mu_hwc_q" in pv["encoder"]
+        got_l, got_aux = genconvit_apply({"vae": pv}, x, net="vae", sample=False)
+        np.testing.assert_allclose(np.asarray(ref_l), np.asarray(got_l),
+                                   rtol=0.05, atol=0.02)
+        # recon comes from z=mu through the decoder: same tolerance class
+        r, g = np.asarray(ref_aux["vae_recon"]), np.asarray(got_aux["vae_recon"])
+        assert np.abs(r - g).max() / max(np.abs(r).max(), 1e-6) < 0.05
+
     def test_vae_hwc_permuted_heads_equivalent(self, small_cfg, rng):
         """permute_latent_heads_hwc (the engine's load-time latent layout
         fold) must leave deterministic logits and the reconstruction equal
