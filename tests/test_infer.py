@@ -122,6 +122,21 @@ def small_predictor():
 
 
 class TestEngine:
+    def test_int8_heads_env_applies_at_load(self, monkeypatch):
+        """GENCONVIT_INT8_HEADS=1 must quantize the (hwc-folded) VAE latent
+        heads at Predictor construction and still score videos."""
+        monkeypatch.setenv("GENCONVIT_INT8_HEADS", "1")
+        cfg = Config()
+        cfg.img_size = 64
+        cfg.model.latent_dims = cfg.derived_latent_dims()
+        cfg.weight_dir = "/nonexistent"
+        p = Predictor(cfg, net="genconvit", face_backend="fullframe", seed=0)
+        enc = p.params["vae"]["encoder"]
+        assert "mu_hwc_q" in enc and enc["mu_hwc_q"]["wq"].dtype == jnp.int8
+        faces = np.zeros((1, 2, 64, 64, 3), np.uint8)
+        y, v = p.predict_videos_batched(faces, np.ones((1, 2), np.float32))
+        assert np.isfinite(np.asarray(v)).all()
+
     def test_video_decode(self, synth_video):
         from genconvit_tpu.data.video import extract_frames
 
