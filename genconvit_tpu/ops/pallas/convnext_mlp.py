@@ -63,17 +63,23 @@ def _row_moments(v32, c: int):
 
 
 def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
-                out_ref, *, c: int, interpret: bool):
-    acc = dw_ref[...].astype(jnp.float32)  # [P, C]
-    mean, inv = _row_moments(acc, c)
+                out_ref, *, c: int, interpret: bool, split: int = 1):
+    """split>1 processes the panel as `split` independent row slices — their
+    DAGs share no data, giving Mosaic's scheduler the freedom to overlap one
+    slice's MXU matmuls with another's VPU phases (stats/GELU)."""
     dtype = out_ref.dtype
-    y = ((acc - mean) * inv).astype(dtype)  # LN affine folded into wg/bw
-    z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
-        + bw_ref[:]
-    h = gelu_f32(z, exact_div=interpret, newton=False).astype(dtype)
-    o = jnp.dot(h, w2g_ref[:], preferred_element_type=jnp.float32) \
-        + b2g_ref[:]
-    out_ref[...] = x_ref[...] + o.astype(dtype)
+    rows = dw_ref.shape[0] // split
+    for s in range(split):
+        sl = pl.ds(s * rows, rows)
+        acc = dw_ref[sl, :].astype(jnp.float32)  # [P/split, C]
+        mean, inv = _row_moments(acc, c)
+        y = ((acc - mean) * inv).astype(dtype)  # LN affine folded into wg/bw
+        z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
+            + bw_ref[:]
+        h = gelu_f32(z, exact_div=interpret, newton=False).astype(dtype)
+        o = jnp.dot(h, w2g_ref[:], preferred_element_type=jnp.float32) \
+            + b2g_ref[:]
+        out_ref[sl, :] = x_ref[sl, :] + o.astype(dtype)
 
 
 def _mlp_kernel_post_ln(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
@@ -225,7 +231,11 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
         lns2, lnb2 = post_ln
         extra = (lns2.astype(jnp.float32), lnb2.astype(jnp.float32))
     else:
-        kernel = functools.partial(_mlp_kernel, c=rc, interpret=interpret)
+        split = int(os.environ.get("GENCONVIT_MLP_SPLIT", "1"))
+        if panel % max(split, 1):
+            split = 1
+        kernel = functools.partial(_mlp_kernel, c=rc, interpret=interpret,
+                                   split=max(split, 1))
     out = pl.pallas_call(
         kernel,
         grid=(rows_p // panel,),

@@ -195,6 +195,47 @@ def test_fused_ln_mlp_padded_channels_matches_block(rng, si, h, c):
     assert rel < 3e-2, f"stage {si}: rel {rel}"
 
 
+def test_layer_norm_rows_matches_reference(rng):
+    """layer_norm_rows (the stem-LN kernel) vs ops.layer_norm, including the
+    padded-channel masked-moment form."""
+    from genconvit_tpu.ops import layer_norm
+    from genconvit_tpu.ops.pallas.convnext_mlp import layer_norm_rows
+
+    c = 96
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, c)), jnp.bfloat16)
+    s = jnp.asarray(rng.standard_normal((c,)) * 0.3 + 1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    ref = layer_norm(x, s, b, eps=1e-6)
+    got = layer_norm_rows(x, s, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+    # padded form: pad lanes stay zero, real lanes match
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - c)))
+    sp, bp = jnp.pad(s, (0, 128 - c)), jnp.pad(b, (0, 128 - c))
+    got_p = layer_norm_rows(xp, sp, bp, real_c=c, interpret=True)
+    assert not np.asarray(got_p[..., c:].astype(np.float32)).any()
+    np.testing.assert_allclose(np.asarray(got_p[..., :c], np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_int8_matmul_kernel_close_to_exact(rng):
+    """matmul_wint8 vs the exact fp32 matmul at quantization tolerance, with
+    a non-tile-divisible N exercising the divisor-tile picker."""
+    from genconvit_tpu.ops.pallas.int8_matmul import matmul_wint8, quantize_wint8
+
+    m, k, n = 16, 512, 384  # n = 3*128, not divisible by 512
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    bias = rng.standard_normal((n,)).astype(np.float32) * 0.1
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    wq, scale = quantize_wint8(w)
+    ref = x @ (wq.astype(np.float32) * scale) + bias  # exact-in-scale form
+    got = matmul_wint8(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(scale),
+                       jnp.asarray(bias), interpret=True)
+    # bf16 activation cast inside the kernel dominates the tolerance
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref,
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_features_mlp_kernel_matches_standard(rng):
     """The full-backbone transposed/padded kernel path
     (models/convnext._features_mlp_kernel): parity vs the standard features
