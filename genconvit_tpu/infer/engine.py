@@ -93,14 +93,6 @@ class Predictor:
 
             params = dict(params)
             params["vae"] = permute_latent_heads_hwc(params["vae"])
-        if "vae" in params and os.environ.get("GENCONVIT_INT8_HEADS") == "1":
-            # opt-in weight-only int8 for the 630M-param latent heads
-            # (models/vae.quantize_latent_heads_int8 — halves their
-            # weight-read bandwidth; ~0.4%-of-column-max rounding)
-            from genconvit_tpu.models.vae import quantize_latent_heads_int8
-
-            params = dict(params)
-            params["vae"] = quantize_latent_heads_int8(params["vae"])
         if self.dtype == jnp.bfloat16:
             # Pre-cast once: the VAE latent heads alone are ~630M params —
             # casting fp32->bf16 inside every jitted call costs ~4GB of HBM
@@ -109,6 +101,18 @@ class Predictor:
             from genconvit_tpu.core.pytree import cast_floats
 
             params = cast_floats(params, jnp.bfloat16)
+        if "vae" in params and os.environ.get("GENCONVIT_INT8_HEADS") == "1":
+            # opt-in weight-only int8 for the 630M-param latent heads
+            # (models/vae.quantize_latent_heads_int8 — halves their
+            # weight-read bandwidth; ~0.4%-of-column-max rounding). AFTER
+            # the bf16 pre-cast: the per-column dequant scales must stay
+            # f32 (casting them to bf16 would double the rounding error),
+            # and quantizing the bf16-rounded weights matches the effective
+            # weights the unquantized bf16 path uses.
+            from genconvit_tpu.models.vae import quantize_latent_heads_int8
+
+            params = dict(params)
+            params["vae"] = quantize_latent_heads_int8(params["vae"])
         self.params = jax.device_put(params)
 
     # ------------------------------------------------------------- weights
@@ -140,21 +144,37 @@ class Predictor:
 
     # ------------------------------------------------------------- forward
 
-    def _forward_fn(self, num_frames: int, batched: bool, stacked: bool = False):
+    def _forward_fn(self, num_frames: int, batched: bool, stacked: bool = False,
+                    kernel_scope: bool = False):
         """stacked=True returns one f32 [2,V] array (y, y_val rows) instead of
         a tuple — streaming paths fetch ONE array per launch (each device->host
         fetch is a full relay/PCIe round trip; two tiny fetches per launch
-        measurably throttle the stream)."""
-        key = (num_frames, batched, stacked)
+        measurably throttle the stream).
+
+        kernel_scope=True builds a SEPARATE jit whose trace runs inside
+        convnext.kernel_backbone_scope() (the shard_map DP-eval path). It
+        must be part of the cache key: the scope is a trace-time ContextVar,
+        invisible to jit's own cache, so sharing one jit object between the
+        scoped and unscoped callers would silently serve whichever variant
+        traced first at a given shape."""
+        key = (num_frames, batched, stacked, kernel_scope)
         if key in self._jit_cache:
             return self._jit_cache[key]
         net = self.net
         dtype = self.dtype
         sample = not self.deterministic_vae
 
+        if kernel_scope:
+            from genconvit_tpu.models.convnext import kernel_backbone_scope
+            scope = kernel_backbone_scope
+        else:
+            import contextlib
+            scope = contextlib.nullcontext
+
         def single(params, frames_u8, mask, rng):
             x = normalize_batch(frames_u8, dtype)
-            logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
+            with scope():
+                logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
             full_mask = jnp.concatenate([mask, mask]) if net == "genconvit" else mask
             return aggregate_logits(logits, full_mask)
 
@@ -163,7 +183,8 @@ class Predictor:
             # device batch so the MXU sees V*F-sized convolutions.
             v, f = frames_u8.shape[:2]
             x = normalize_batch(frames_u8.reshape((v * f,) + frames_u8.shape[2:]), dtype)
-            logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
+            with scope():
+                logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
             if net == "genconvit":
                 ed, vae = logits[: v * f], logits[v * f:]
                 per_video = jnp.concatenate(

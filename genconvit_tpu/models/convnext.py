@@ -320,28 +320,15 @@ def kernel_backbone_scope():
     return scope()
 
 
-def _layer_norm_padded(x: jax.Array, scale: jax.Array, bias: jax.Array,
-                       real_c: int) -> jax.Array:
-    """LayerNorm over a zero-padded channel axis: pad lanes are exactly zero,
-    so plain lane sums with the real-C divisor give true moments, and the
-    zero-padded scale/bias pin pad lanes back to zero."""
-    x32 = x.astype(jnp.float32)
-    inv_c = 1.0 / real_c
-    mu = jnp.sum(x32, axis=-1, keepdims=True) * inv_c
-    var = jnp.sum(jnp.square(x32), axis=-1, keepdims=True) * inv_c - jnp.square(mu)
-    y = (x32 - mu) * jax.lax.rsqrt(var + _LN_EPS)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
-
-
 @jax.custom_vjp
 def _features_mlp_kernel(params: Dict, x: jax.Array) -> jax.Array:
     """Full backbone (stem LN onward) in the transposed, channel-padded
     space: every stage tensor lives as logical [H,W,N,C_pad] whose row-major
     layout equals the conv emitter's preferred {3,0,2,1} physical layout of
     the NHWC view — so the transposes around each conv are layout bitcasts,
-    and the Pallas MLP-tail kernels see dense lane-aligned panels. Stem and
-    downsample LNs use the masked-moment form (_layer_norm_padded); all
+    and the Pallas MLP-tail kernels see dense lane-aligned panels. The stem
+    LN runs as the Pallas layer_norm_rows kernel and each downsample LN is
+    fused into the previous stage's last MLP kernel (post_ln); all
     conv/LN/MLP weights are zero-padded so pad lanes stay exactly zero
     end-to-end. Profiled: removes the ~5ms of per-stage pad+relayout fusions
     the per-stage kernel path pays (tools/profile_forward.py)."""
@@ -459,8 +446,12 @@ def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
     each shard traces with local shapes) enables it per-trace."""
     import os
 
+    from genconvit_tpu.ops.act import _exact_gelu_forced
+
     mode = os.environ.get("GENCONVIT_PALLAS", "")
     if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+            and not _exact_gelu_forced()  # exact erf has no Mosaic lowering —
+            # honor the knob by falling back to the XLA graph
             and (mode == "mlpfull"
                  or (mode == "" and (jax.device_count() == 1
                                      or _KERNEL_SCOPE.get())))):

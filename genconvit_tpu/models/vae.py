@@ -291,9 +291,16 @@ def vae_updated_apply(
         new_bn.append(stats)
         h = leaky_relu(h)
     n = h.shape[0]
-    flat = h.transpose(0, 3, 1, 2).reshape(n, -1)
-    mu = linear(flat, enc["mu"]["kernel"], enc["mu"]["bias"])
-    logvar = linear(flat, enc["var"]["kernel"], enc["var"]["bias"])
+    if "mu_hwc" in enc or "mu_hwc_q" in enc:
+        # hwc-folded (and optionally int8) heads — see permute_latent_heads_hwc
+        # (the updated decoder's input rows get the matching re-index there)
+        flat = h.reshape(n, -1)
+        mu = _latent_head(enc, flat, "mu_hwc")
+        logvar = _latent_head(enc, flat, "var_hwc")
+    else:
+        flat = h.transpose(0, 3, 1, 2).reshape(n, -1)
+        mu = _latent_head(enc, flat, "mu")
+        logvar = _latent_head(enc, flat, "var")
     if sample:
         if rng is None:
             raise ValueError("vae_updated_apply(sample=True) needs an rng key")

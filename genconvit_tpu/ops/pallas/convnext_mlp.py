@@ -63,7 +63,8 @@ def _row_moments(v32, c: int):
 
 
 def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
-                out_ref, *, c: int, interpret: bool, split: int = 1):
+                out_ref, *, c: int, interpret: bool, hp: bool = False,
+                split: int = 1):
     """split>1 processes the panel as `split` independent row slices — their
     DAGs share no data, giving Mosaic's scheduler the freedom to overlap one
     slice's MXU matmuls with another's VPU phases (stats/GELU)."""
@@ -76,7 +77,8 @@ def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
         y = ((acc - mean) * inv).astype(dtype)  # LN affine folded into wg/bw
         z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
             + bw_ref[:]
-        h = gelu_f32(z, exact_div=interpret, newton=False).astype(dtype)
+        h = gelu_f32(z, exact_div=interpret, newton=hp,
+                     hp=hp).astype(dtype)
         o = jnp.dot(h, w2g_ref[:], preferred_element_type=jnp.float32) \
             + b2g_ref[:]
         out_ref[sl, :] = x_ref[sl, :] + o.astype(dtype)
@@ -84,7 +86,7 @@ def _mlp_kernel(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
 
 def _mlp_kernel_post_ln(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
                         lns2_ref, lnb2_ref, out_ref, *, c: int,
-                        interpret: bool):
+                        interpret: bool, hp: bool = False):
     """_mlp_kernel + a fused LayerNorm on the block OUTPUT (the next
     stage's downsample norm): lets the padded/transposed backbone feed the
     downsample conv directly, with no standalone masked-LN op for XLA to
@@ -96,7 +98,7 @@ def _mlp_kernel_post_ln(dw_ref, x_ref, wg_ref, bw_ref, w2g_ref, b2g_ref,
     y = ((acc - mean) * inv).astype(dtype)
     z = jnp.dot(y, wg_ref[:], preferred_element_type=jnp.float32) \
         + bw_ref[:]
-    h = gelu_f32(z, exact_div=interpret, newton=False).astype(dtype)
+    h = gelu_f32(z, exact_div=interpret, newton=hp, hp=hp).astype(dtype)
     o = jnp.dot(h, w2g_ref[:], preferred_element_type=jnp.float32) \
         + b2g_ref[:]
     out = x_ref[...].astype(jnp.float32) + o
@@ -224,10 +226,13 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
     b2g = p["mlp"]["fc2"]["bias"].astype(jnp.float32) * gam      # [C]
     rc = real_c if real_c is not None else c
 
+    from genconvit_tpu.ops.act import _hp_gelu_forced
+
+    hp = _hp_gelu_forced()  # GENCONVIT_GELU=hp selects the deg-5/4 tier
     extra = ()
     if post_ln is not None:
         kernel = functools.partial(_mlp_kernel_post_ln, c=rc,
-                                   interpret=interpret)
+                                   interpret=interpret, hp=hp)
         lns2, lnb2 = post_ln
         extra = (lns2.astype(jnp.float32), lnb2.astype(jnp.float32))
     else:
@@ -235,7 +240,7 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
         if panel % max(split, 1):
             split = 1
         kernel = functools.partial(_mlp_kernel, c=rc, interpret=interpret,
-                                   split=max(split, 1))
+                                   hp=hp, split=max(split, 1))
     out = pl.pallas_call(
         kernel,
         grid=(rows_p // panel,),

@@ -60,14 +60,15 @@ def _shard_map_forward(predictor: Predictor, mesh, num_frames: int):
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from genconvit_tpu.models.convnext import kernel_backbone_scope
-
-        fn = predictor._forward_fn(num_frames, batched=True)
+        # kernel_scope=True: a DISTINCT jit from the single-chip paths — the
+        # scope is a trace-time ContextVar, so it must be in the forward-fn
+        # cache key or the two sharding regimes would alias each other's
+        # traced backbone at matching local shapes
+        fn = predictor._forward_fn(num_frames, batched=True, kernel_scope=True)
 
         def local_fwd(params, fb, mk, rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            with kernel_backbone_scope():
-                return fn(params, fb, mk, rng)
+            return fn(params, fb, mk, rng)
 
         cache[key] = jax.jit(shard_map(
             local_fwd, mesh=mesh,

@@ -178,6 +178,28 @@ class TestGenConViTEnsemble:
         l2, _ = genconvit_apply(params, x, net="vae", sample=False)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
+    def test_vae_updated_variant_survives_engine_folds(self, small_cfg, rng):
+        """Regression: the engine's default hwc fold (and opt-in int8 quant)
+        renames mu/var; the updated-variant forward must dispatch through the
+        folded heads instead of crashing on enc['mu'], and stay numerically
+        equivalent (deterministic path)."""
+        from genconvit_tpu.models.vae import (init_vae_updated,
+                                              permute_latent_heads_hwc,
+                                              quantize_latent_heads_int8,
+                                              vae_apply)
+
+        params = init_vae_updated(jax.random.PRNGKey(0), img_size=64)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+        ref_l, _, _ = vae_apply(params, x, sample=False)
+        pv = permute_latent_heads_hwc(params)
+        got_l, _, _ = vae_apply(pv, x, sample=False)
+        np.testing.assert_allclose(np.asarray(ref_l), np.asarray(got_l),
+                                   rtol=1e-4, atol=1e-5)
+        qv = quantize_latent_heads_int8(pv)
+        q_l, _, _ = vae_apply(qv, x, sample=False)
+        np.testing.assert_allclose(np.asarray(ref_l), np.asarray(q_l),
+                                   rtol=0.05, atol=0.02)
+
     def test_vae_int8_latent_heads_close(self, small_cfg, rng):
         """quantize_latent_heads_int8 (GENCONVIT_INT8_HEADS=1): deterministic
         logits from the weight-only int8 mu head must track the exact head
