@@ -1,6 +1,14 @@
 #!/usr/bin/env python
 """Throughput benchmark — DFDC-style 15-frame ensemble video prediction.
 
+Un-killable by design: the headline JSON line is printed to stdout as soon
+as the FIRST device-resident trial completes, and re-printed (superseding
+lines; each line is complete, valid JSON) whenever a later phase improves
+or extends it. SIGTERM/SIGINT and normal exit all flush the best-so-far
+line, so a scheduler timeout still leaves a parseable result. A wall-clock
+deadline (GENCONVIT_BENCH_DEADLINE seconds, default 1200) skips the
+optional later phases when the run is behind.
+
 Reports three numbers (stderr carries per-trial detail):
 
   * value (headline): videos/sec/chip through the jitted compute path with
@@ -9,27 +17,39 @@ Reports three numbers (stderr carries per-trial detail):
     224,3], the shape the engine feeds the MXU in production. This is the
     chip-capability number: production TPU hosts feed the chip over >10GB/s
     PCIe/DMA, so input transfer is never the binding stage there.
+    Reference workload being measured: 15-frame DFDC prediction
+    (ref model/pred_func.py:111-131).
   * tunnel_streamed_videos_per_sec: the same pipeline with every batch
     shipped host->device through this sandbox's relay tunnel (measured
     ~25-100MB/s day-to-day — see STATUS.md). Purely link-bound: YUV420 at
     1.13MB/video caps it at link_MBps/1.13 regardless of compute.
   * e2e_sample_videos_per_sec: decode+preprocess+device on the reference's
-    bundled sample videos. This sandbox has ONE CPU core, so host decode
-    (~50x slower than any production host) dominates; reported for
-    completeness.
+    bundled sample videos via the batched C++ decoder, reusing the resident
+    predictor (no second compile stack). This sandbox has ONE CPU core, so
+    host decode (~50x slower than any production host) dominates; reported
+    for completeness together with decode/device overlap stage timers.
 
-Baseline (vs_baseline denominator): the reference PyTorch pipeline on
-A100-fp16. The reference repo publishes no throughput numbers (SURVEY.md §6);
-we use an analytic estimate of its *model-forward-only* throughput — ~270
-GFLOP/video at ~50% A100-fp16 conv utilization, serial per-video batching —
-of ~55 videos/s. Model-forward-only is also what the headline measures, so
-the comparison is like-for-like. The north-star target is vs_baseline >= 5.
+Baseline (vs_baseline denominator, "baseline": "analytic"): the reference
+PyTorch pipeline on A100-fp16. The reference repo publishes no throughput
+numbers (SURVEY.md §6); we use an analytic estimate of its
+*model-forward-only* throughput — ~270 GFLOP/video at ~50% A100-fp16 conv
+utilization, serial per-video batching — of ~55 videos/s. Model-forward-only
+is also what the headline measures, so the comparison is like-for-like; the
+denominator is an estimate by this repo's authors, not a measured A100
+number. North-star target: vs_baseline >= 5.
 
-Prints ONE JSON line to stdout.
+Measurement hygiene (this sandbox reaches the chip through a caching relay):
+every launch gets a DISTINCT pre-uploaded rng key (the VAE samples from it,
+so executions are never identical and can't be served from the relay's
+execution cache), input buffers rotate, and each trial is synced by fetching
+a value (block_until_ready does not reliably block through the relay).
+Trials report median AND best; a >2x spread flags relay_degraded.
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -39,12 +59,38 @@ A100_FP16_BASELINE_VIDEOS_PER_SEC = 55.0
 FRAMES = 15
 IMG = 224
 
+_T0 = time.perf_counter()
+_state = {"out": None, "printed": None}
+
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def emit():
+    """Print the current result line if it changed since the last print."""
+    out = _state["out"]
+    if out is not None and out != _state["printed"]:
+        print(json.dumps(out), flush=True)
+        _state["printed"] = dict(out)
+
+
+def _on_signal(signum, frame):
+    log(f"signal {signum}: flushing best-so-far result")
+    emit()
+    os._exit(0 if _state["printed"] is not None else 1)
+
+
+def deadline_left():
+    return float(os.environ.get("GENCONVIT_BENCH_DEADLINE", "1200")) \
+        - (time.perf_counter() - _T0)
 
 
 def main():
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    atexit.register(emit)
+
     import jax
     import jax.numpy as jnp
 
@@ -56,53 +102,114 @@ def main():
         pass
 
     from genconvit_tpu.config import Config
-    from genconvit_tpu.infer.engine import Predictor
+    from genconvit_tpu.infer.engine import Predictor, _host_staging_context
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
     config = Config()
     config.weight_dir = os.environ.get("GENCONVIT_WEIGHT_DIR", "weight")
+    # random-weight fallback only exercises the compute path — use the
+    # seconds-fast numpy init, not 90s of single-core threefry (ops/init.py)
+    os.environ.setdefault("GENCONVIT_FAST_INIT", "1")
     predictor = Predictor(config, net="genconvit", face_backend="fullframe",
                           dtype=jnp.bfloat16 if backend == "tpu" else jnp.float32)
+    log("predictor ready (host-staged init + single upload)")
 
     rng = np.random.default_rng(0)
     trials = int(os.environ.get("GENCONVIT_BENCH_TRIALS", "4"))
+    device = jax.devices()[0]
+
+    def make_keys(n, salt):
+        # distinct per-launch rng keys, built host-side and pre-uploaded:
+        # zero extra dispatches inside the timed loop
+        with _host_staging_context():
+            ks = [jax.random.fold_in(jax.random.PRNGKey(salt), i)
+                  for i in range(n)]
+        return jax.device_put(ks, device)
 
     # ---- headline: device-resident launch throughput (chip capability) ----
     best = 0.0
     best_detail = {}
+    medians = {}
+    degraded = False
     batch_sizes = [int(v) for v in os.environ.get(
         "GENCONVIT_BENCH_BATCHES", "8,16").split(",")]
-    masks_cache = {}
+
+    def refresh(streamed=None, e2e=None, extra=None):
+        out = {
+            "metric": "videos_per_sec_per_chip_dfdc15_ensemble",
+            "value": round(best, 2),
+            "unit": "videos/s",
+            "vs_baseline": round(best / A100_FP16_BASELINE_VIDEOS_PER_SEC, 3),
+            "baseline": "analytic",
+            "method": "device-resident batches (chip compute path; baseline "
+                      "denominator is an analytic A100-fp16 model-forward "
+                      "estimate, like-for-like)",
+            **best_detail,
+            "median_by_batch": {str(k): round(v, 2) for k, v in medians.items()},
+            "relay_degraded": degraded,
+        }
+        prev = _state["out"] or {}
+        if streamed is not None:
+            out["tunnel_streamed_videos_per_sec"] = streamed
+            out["tunnel_note"] = ("sandbox relay link (~25-100MB/s, ~1000x "
+                                  "slower than production PCIe) in the loop; "
+                                  "link-bound")
+        elif "tunnel_streamed_videos_per_sec" in prev:
+            out["tunnel_streamed_videos_per_sec"] = \
+                prev["tunnel_streamed_videos_per_sec"]
+            out["tunnel_note"] = prev["tunnel_note"]
+        if e2e is not None:
+            out.update(e2e)
+        elif "e2e_sample_videos_per_sec" in prev:
+            out.update({k: prev[k] for k in prev if k.startswith("e2e_")})
+        if extra:
+            out.update(extra)
+        _state["out"] = out
+
     for v_batch in batch_sizes:
-        # distinct device-resident batches (the relay caches identical
-        # executions); ONE value fetch at the end syncs the whole trial
-        # (block_until_ready does not reliably block through the relay).
+        if best and deadline_left() < 240:
+            log(f"V={v_batch}: skipped (deadline; {deadline_left():.0f}s left)")
+            break
         n_bufs = 4
         dev = [jax.device_put(rng.integers(
-            0, 255, (v_batch, FRAMES, IMG, IMG, 3), np.uint8))
+            0, 255, (v_batch, FRAMES, IMG, IMG, 3), np.uint8), device)
             for _ in range(n_bufs)]
-        dmask = jax.device_put(np.ones((v_batch, FRAMES), np.float32))
-        masks_cache[v_batch] = dmask
+        dmask = jax.device_put(np.ones((v_batch, FRAMES), np.float32), device)
         fn = predictor._forward_fn(FRAMES, batched=True, stacked=True)
-        key = jax.random.PRNGKey(0)
+        iters = int(os.environ.get("GENCONVIT_BENCH_ITERS", "0")) \
+            or max(6, int(np.ceil(48 / v_batch)))
+        keys = make_keys(trials * iters + 1, v_batch)
         t0 = time.perf_counter()
-        np.asarray(fn(predictor.params, dev[0], dmask, key))
+        np.asarray(fn(predictor.params, dev[0], dmask, keys[-1]))
         log(f"V={v_batch}: first call (compile) {time.perf_counter() - t0:.1f}s")
-        iters = max(6, int(np.ceil(48 / v_batch)))
+        dts = []
         for trial in range(trials):
             t0 = time.perf_counter()
-            outs = [fn(predictor.params, dev[i % n_bufs], dmask, key)
-                    for i in range(iters)]
+            outs = [fn(predictor.params, dev[i % n_bufs], dmask,
+                       keys[trial * iters + i]) for i in range(iters)]
             np.asarray(jnp.stack(outs))  # one real fetch = honest sync
             dt = time.perf_counter() - t0
+            dts.append(dt)
             vps = v_batch * iters / dt
             log(f"V={v_batch} resident trial {trial}: {vps:.1f} videos/s "
                 f"({dt / iters * 1e3:.1f} ms/launch)")
             if vps > best:
                 best, best_detail = vps, {"v_batch": v_batch,
                                           "ms_per_launch": round(dt / iters * 1e3, 1)}
+            if trial == 0:
+                # first full trial done -> a parseable line exists from here on
+                refresh()
+                emit()
+        medians[v_batch] = v_batch * iters / float(np.median(dts))
+        if max(dts) > 2.0 * min(dts):
+            degraded = True
+            log(f"V={v_batch}: trial spread {min(dts):.2f}-{max(dts):.2f}s "
+                "-> relay_degraded")
+        refresh()
+        emit()
+        del dev, dmask, keys
 
     # ---- tunnel-streamed: host->device transfer in the measured loop ----
     # YUV420 transfer path: half the H2D bytes of RGB, colorspace conversion
@@ -110,73 +217,82 @@ def main():
     # ships planar YUV straight from the FFmpeg decoder).
     from genconvit_tpu.data.preprocess import yuv_affine
 
-    streamed = 0.0
     v_batch = int(os.environ.get("GENCONVIT_BENCH_YUV_BATCH", "16"))
     if v_batch <= 0:
         log("yuv stream phase skipped (GENCONVIT_BENCH_YUV_BATCH <= 0)")
-    yb = [] if v_batch <= 0 else [(
-        (rng.integers(0, 255, (v_batch, FRAMES, IMG, IMG), np.uint8),
-         rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8),
-         rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8)),
-        yuv_affine("bt709", False),
-        np.ones((v_batch, FRAMES), np.float32),
-    ) for _ in range(2)]
-    if yb:
+    elif deadline_left() < 180:
+        log(f"yuv stream phase skipped (deadline; {deadline_left():.0f}s left)")
+    else:
+        yb = [(
+            (rng.integers(0, 255, (v_batch, FRAMES, IMG, IMG), np.uint8),
+             rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8),
+             rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8)),
+            yuv_affine("bt709", False),
+            np.ones((v_batch, FRAMES), np.float32),
+        ) for _ in range(2)]
         t0 = time.perf_counter()
         predictor.predict_videos_stream_yuv(iter(yb))
         log(f"yuv: first call (compile) {time.perf_counter() - t0:.1f}s")
-        s_iters = 8
+        s_iters = int(os.environ.get("GENCONVIT_BENCH_YUV_ITERS", "8"))
+        rates = []
         for trial in range(trials):
+            if rates and deadline_left() < 120:
+                break
             t0 = time.perf_counter()
             predictor.predict_videos_stream_yuv(yb[i % 2] for i in range(s_iters))
             dt = time.perf_counter() - t0
-            vps = v_batch * s_iters / dt
-            log(f"yuv stream trial {trial}: {vps:.1f} videos/s")
-            streamed = max(streamed, vps)
+            rates.append(v_batch * s_iters / dt)
+            log(f"yuv stream trial {trial}: {rates[-1]:.1f} videos/s")
+        if max(rates) > 2.0 * min(rates):
+            degraded = True
+        refresh(streamed=round(float(np.median(rates)), 2),
+                extra={"tunnel_streamed_best": round(max(rates), 2)})
+        emit()
 
-    # ---- e2e: decode + preprocess + device on the reference's sample videos
-    e2e = None
+    # ---- e2e: batched C++ decode + device on the reference's samples ----
+    # reuses the RESIDENT predictor; video_batch=8 hits the jit entry the
+    # headline already compiled, so this phase adds no compile stack.
     sample_dir = os.environ.get(
         "GENCONVIT_BENCH_SAMPLES", "/root/reference/sample_prediction_data")
-    if os.path.isdir(sample_dir) and os.environ.get("GENCONVIT_BENCH_E2E", "1") == "1":
+    if (os.path.isdir(sample_dir)
+            and os.environ.get("GENCONVIT_BENCH_E2E", "1") == "1"
+            and deadline_left() > 90):
         vids = sorted(
             os.path.join(sample_dir, f) for f in os.listdir(sample_dir)
             if f.lower().endswith((".mp4", ".avi", ".mov")))
         if vids:
-            e2e_pred = Predictor(
-                config, net="genconvit", face_backend="fullframe",
-                transfer_format="yuv420",
-                dtype=jnp.bfloat16 if backend == "tpu" else jnp.float32)
-            e2e_pred.params = predictor.params  # reuse resident weights
-            e2e_pred.predict_files(vids[:2], FRAMES)  # warm compiles
-            best_e2e = 0.0
-            for trial in range(2):
-                t0 = time.perf_counter()
-                res = e2e_pred.predict_files(vids, FRAMES)
-                dt = time.perf_counter() - t0
-                ok = sum(1 for _, v in res if v is not None)
-                best_e2e = max(best_e2e, ok / dt)
-                log(f"e2e trial {trial}: {ok / dt:.2f} videos/s "
-                    f"({ok}/{len(vids)} videos, {dt:.1f}s)")
-            log(f"e2e stage timers: {e2e_pred.timers.summary()}")
-            e2e = round(best_e2e, 2)
+            try:
+                predictor.timers.reset()
+                rates = []
+                for trial in range(2):
+                    t0 = time.perf_counter()
+                    res = predictor.predict_files_native_rgb(vids, FRAMES,
+                                                             video_batch=8)
+                    dt = time.perf_counter() - t0
+                    ok = sum(1 for _, v in res if v is not None)
+                    rates.append(ok / dt)
+                    log(f"e2e trial {trial}: {ok / dt:.2f} videos/s "
+                        f"({ok}/{len(vids)} videos, {dt:.1f}s)")
+                summ = predictor.timers.summary()
+                log(f"e2e stage timers: {summ}")
+                decode_s = summ.get("decode", {}).get("total_seconds", 0.0)
+                device_s = summ.get("device_forward", {}).get("total_seconds", 0.0)
+                refresh(e2e={
+                    "e2e_sample_videos_per_sec": round(float(np.median(rates)), 2),
+                    "e2e_note": "single-CPU-core sandbox host; decode-bound; "
+                                "batched C++ decoder overlapped with device "
+                                "compute (async launches, single fetch)",
+                    "e2e_decode_s": decode_s,
+                    "e2e_device_wait_s": device_s,
+                })
+                emit()
+            except Exception as e:
+                log(f"e2e phase failed ({type(e).__name__}: {e}); keeping "
+                    "earlier phases")
 
-    out = {
-        "metric": "videos_per_sec_per_chip_dfdc15_ensemble",
-        "value": round(best, 2),
-        "unit": "videos/s",
-        "vs_baseline": round(best / A100_FP16_BASELINE_VIDEOS_PER_SEC, 3),
-        "method": "device-resident batches (chip compute path; baseline "
-                  "denominator is model-forward-only too)",
-        **best_detail,
-        "tunnel_streamed_videos_per_sec": round(streamed, 2),
-        "tunnel_note": "sandbox relay link (~25-100MB/s, ~1000x slower than "
-                       "production PCIe) in the loop; link-bound",
-    }
-    if e2e is not None:
-        out["e2e_sample_videos_per_sec"] = e2e
-        out["e2e_note"] = "single-CPU-core sandbox host; decode-bound"
-    print(json.dumps(out))
+    refresh()
+    emit()
+    log(f"done in {time.perf_counter() - _T0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -14,8 +14,10 @@ model/pred_func.py:18-64,111-131) with a TPU-first design:
 from __future__ import annotations
 
 import concurrent.futures as cf
+import contextlib
 import logging
 import os
+import time
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
@@ -41,6 +43,24 @@ def default_compute_dtype() -> Any:
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
+def _host_staging_context():
+    """Context under which param loading/init and the load-time folds run.
+
+    Pins jax's default device to the host CPU backend so every eager op
+    (random init, layout folds, dtype casts) executes locally. Without it,
+    from-scratch init dispatches ~300 tiny ops to the accelerator — measured
+    0.5-1.3s EACH through a relay-attached TPU (97s for init_ed alone) — and
+    the folds round-trip multi-GB trees device<->host. With it, the whole
+    prep phase is host-local and the device sees exactly ONE upload.
+    jax.random is backend-invariant (threefry), so initialized values are
+    bitwise identical either way."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 class Predictor:
     def __init__(
         self,
@@ -57,7 +77,10 @@ class Predictor:
         prefer_native_decode: bool = True,
         transfer_format: str = "rgb",  # 'rgb' | 'yuv420' (fullframe+native)
         seed: int = 0,
+        params_device: str = "device",  # 'device' | 'defer' (upload lazily)
     ):
+        self._params: Optional[Dict[str, Any]] = None
+        self._params_host: Optional[Dict[str, Any]] = None
         self.config = config or Config()
         self.net = net
         # --fp16 maps to bf16 on TPU (and actually works, unlike the
@@ -82,38 +105,82 @@ class Predictor:
                         "'fullframe'", backend, e)
             self.detector = make_detector("fullframe")
 
-        if params is None:
-            params = self._load_or_init(ed_weight, vae_weight)
-        params = live_params(params)
-        if "vae" in params and os.environ.get("GENCONVIT_VAE_HWC", "1") == "1":
-            # fold the torch CHW flatten into the 630M-param latent heads
-            # once at load (saves ~1.6ms/launch of transpose gathers); the
-            # permuted tree is engine-local — checkpoints never see it
-            from genconvit_tpu.models.vae import permute_latent_heads_hwc
+        # ---- param prep: ALL host-side, then ONE device upload ----
+        # (each phase logs its elapsed time so a cold-start hang is
+        # diagnosable from the log tail alone)
+        t0 = time.perf_counter()
+        with _host_staging_context():
+            if params is None:
+                params = self._load_or_init(ed_weight, vae_weight)
+                log.info("init: weights loaded/initialized on host in %.1fs",
+                         time.perf_counter() - t0)
+            params = live_params(params)
+            if ("vae" in params and "encoder" in params["vae"]
+                    and "mu" in params["vae"]["encoder"]
+                    and os.environ.get("GENCONVIT_VAE_HWC", "1") == "1"):
+                # fold the torch CHW flatten into the 630M-param latent heads
+                # once at load (saves ~1.6ms/launch of transpose gathers); the
+                # permuted tree is engine-local — checkpoints never see it.
+                # Guarded on 'mu' so already-folded trees pass through.
+                from genconvit_tpu.models.vae import permute_latent_heads_hwc
 
-            params = dict(params)
-            params["vae"] = permute_latent_heads_hwc(params["vae"])
-        if self.dtype == jnp.bfloat16:
-            # Pre-cast once: the VAE latent heads alone are ~630M params —
-            # casting fp32->bf16 inside every jitted call costs ~4GB of HBM
-            # traffic per batch. Norm statistics are computed in fp32 inside
-            # the ops regardless of storage dtype.
-            from genconvit_tpu.core.pytree import cast_floats
+                t = time.perf_counter()
+                params = dict(params)
+                params["vae"] = permute_latent_heads_hwc(params["vae"])
+                log.info("init: latent-head HWC fold %.1fs", time.perf_counter() - t)
+            if self.dtype == jnp.bfloat16:
+                # Pre-cast once: the VAE latent heads alone are ~630M params —
+                # casting fp32->bf16 inside every jitted call costs ~4GB of HBM
+                # traffic per batch. Norm statistics are computed in fp32 inside
+                # the ops regardless of storage dtype.
+                from genconvit_tpu.core.pytree import cast_floats
 
-            params = cast_floats(params, jnp.bfloat16)
-        if "vae" in params and os.environ.get("GENCONVIT_INT8_HEADS") == "1":
-            # opt-in weight-only int8 for the 630M-param latent heads
-            # (models/vae.quantize_latent_heads_int8 — halves their
-            # weight-read bandwidth; ~0.4%-of-column-max rounding). AFTER
-            # the bf16 pre-cast: the per-column dequant scales must stay
-            # f32 (casting them to bf16 would double the rounding error),
-            # and quantizing the bf16-rounded weights matches the effective
-            # weights the unquantized bf16 path uses.
-            from genconvit_tpu.models.vae import quantize_latent_heads_int8
+                t = time.perf_counter()
+                params = cast_floats(params, jnp.bfloat16)
+                log.info("init: bf16 cast %.1fs", time.perf_counter() - t)
+            if "vae" in params and os.environ.get("GENCONVIT_INT8_HEADS") == "1":
+                # opt-in weight-only int8 for the 630M-param latent heads
+                # (models/vae.quantize_latent_heads_int8 — halves their
+                # weight-read bandwidth; ~0.4%-of-column-max rounding). AFTER
+                # the bf16 pre-cast: the per-column dequant scales must stay
+                # f32 (casting them to bf16 would double the rounding error),
+                # and quantizing the bf16-rounded weights matches the effective
+                # weights the unquantized bf16 path uses.
+                from genconvit_tpu.models.vae import quantize_latent_heads_int8
 
-            params = dict(params)
-            params["vae"] = quantize_latent_heads_int8(params["vae"])
-        self.params = jax.device_put(params)
+                t = time.perf_counter()
+                params = dict(params)
+                params["vae"] = quantize_latent_heads_int8(params["vae"])
+                log.info("init: int8 head quantization %.1fs",
+                         time.perf_counter() - t)
+        if params_device == "defer":
+            # directory-walking CLIs don't pay the upload until first launch
+            self._params = None
+            self._params_host = params
+        else:
+            self.params = self._upload_params(params)
+
+    def _upload_params(self, host_params):
+        # explicit target device: device_put(x, None) is identity for
+        # committed arrays, and the host-staging context COMMITS every leaf
+        # to the CPU backend
+        t = time.perf_counter()
+        dev = jax.device_put(host_params, jax.devices()[0])
+        jax.block_until_ready(dev)
+        log.info("init: param upload %.1fs", time.perf_counter() - t)
+        return dev
+
+    @property
+    def params(self):
+        if self._params is None and self._params_host is not None:
+            self._params = self._upload_params(self._params_host)
+            self._params_host = None
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
+        self._params_host = None
 
     # ------------------------------------------------------------- weights
 

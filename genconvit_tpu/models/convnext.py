@@ -369,9 +369,12 @@ def _features_mlp_kernel(params: Dict, x: jax.Array) -> jax.Array:
             dw_t = jnp.transpose(dw, (1, 2, 0, 3))
             post_ln = None
             if bi == len(stage["blocks"]) - 1 and si + 1 < n_stages:
-                nxt = params["stages"][si + 1]["downsample"]["norm"]
-                post_ln = (jnp.pad(nxt["scale"], (0, c_pad - c)),
-                           jnp.pad(nxt["bias"], (0, c_pad - c)))
+                # guard: only fuse the next stage's downsample LN when that
+                # stage actually has one (mirrors the plain path's `if ds`)
+                nxt = params["stages"][si + 1].get("downsample")
+                if nxt is not None:
+                    post_ln = (jnp.pad(nxt["norm"]["scale"], (0, c_pad - c)),
+                               jnp.pad(nxt["norm"]["bias"], (0, c_pad - c)))
             t = fused_ln_mlp_residual(dw_t, t, bp, real_c=c, post_ln=post_ln)
     out = jnp.transpose(t, (2, 0, 1, 3))
     return out[..., :c] if c_pad != c else out

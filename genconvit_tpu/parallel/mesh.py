@@ -52,16 +52,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def _tp_spec_for_path(path: Tuple, leaf) -> P:
     """PartitionSpec for one param leaf under tensor parallelism."""
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-
-    def at(*names) -> bool:
-        return any(all(k in keys for k in name) if isinstance(name, tuple)
-                   else name in keys for name in names)
-
     ndim = getattr(leaf, "ndim", 0)
-    # VAE latent heads: col-shard the huge (25088, 12544) matmuls
-    if at("mu", "var") and "kernel" in keys and ndim == 2:
+    # VAE latent heads: col-shard the huge (25088, 12544) matmuls. The
+    # engine's load-time folds rename them (mu -> mu_hwc -> mu_hwc_q with a
+    # wq/scale pair — models/vae.py permute_latent_heads_hwc /
+    # quantize_latent_heads_int8), so match by prefix and treat the int8
+    # weight like a kernel; both layouts are column-sharded the same way.
+    head = any(isinstance(k, str) and k.startswith(("mu", "var"))
+               for k in keys)
+    if head and ("kernel" in keys or "wq" in keys) and ndim == 2:
         return P(None, MODEL_AXIS)
-    if at("mu", "var") and "bias" in keys:
+    if head and ("bias" in keys or "scale" in keys) and ndim == 1:
         return P(MODEL_AXIS)
     # ConvNeXt / Swin MLPs: fc1 col-sharded, fc2 row-sharded (Megatron pattern)
     if "mlp" in keys and "fc1" in keys and "kernel" in keys and ndim == 2:
