@@ -78,9 +78,16 @@ class Predictor:
         transfer_format: str = "rgb",  # 'rgb' | 'yuv420' (fullframe+native)
         seed: int = 0,
         params_device: str = "device",  # 'device' | 'defer' (upload lazily)
+        kernel_plan: Optional[Any] = None,  # ops.kernel_plan.KernelPlan
     ):
         self._params: Optional[Dict[str, Any]] = None
         self._params_host: Optional[Dict[str, Any]] = None
+        # kernel-variant selection: resolved ONCE here (env feeds the
+        # default); traced code consults the plan via plan_scope, never
+        # os.environ (ops/kernel_plan.py)
+        from genconvit_tpu.ops.kernel_plan import KernelPlan
+
+        self.kernel_plan: KernelPlan = kernel_plan or KernelPlan.from_env()
         self.config = config or Config()
         self.net = net
         # --fp16 maps to bf16 on TPU (and actually works, unlike the
@@ -223,14 +230,19 @@ class Predictor:
         must be part of the cache key: the scope is a trace-time ContextVar,
         invisible to jit's own cache, so sharing one jit object between the
         scoped and unscoped callers would silently serve whichever variant
-        traced first at a given shape."""
-        key = (num_frames, batched, stacked, kernel_scope)
+        traced first at a given shape. The Predictor's KernelPlan is bound
+        the same way (and keyed the same way, for callers that mutate
+        self.kernel_plan between calls)."""
+        key = (num_frames, batched, stacked, kernel_scope, self.kernel_plan)
         if key in self._jit_cache:
             return self._jit_cache[key]
         net = self.net
         dtype = self.dtype
         sample = not self.deterministic_vae
 
+        from genconvit_tpu.ops.kernel_plan import plan_scope
+
+        plan = self.kernel_plan
         if kernel_scope:
             from genconvit_tpu.models.convnext import kernel_backbone_scope
             scope = kernel_backbone_scope
@@ -240,7 +252,7 @@ class Predictor:
 
         def single(params, frames_u8, mask, rng):
             x = normalize_batch(frames_u8, dtype)
-            with scope():
+            with plan_scope(plan), scope():
                 logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
             full_mask = jnp.concatenate([mask, mask]) if net == "genconvit" else mask
             return aggregate_logits(logits, full_mask)
@@ -250,7 +262,7 @@ class Predictor:
             # device batch so the MXU sees V*F-sized convolutions.
             v, f = frames_u8.shape[:2]
             x = normalize_batch(frames_u8.reshape((v * f,) + frames_u8.shape[2:]), dtype)
-            with scope():
+            with plan_scope(plan), scope():
                 logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
             if net == "genconvit":
                 ed, vae = logits[: v * f], logits[v * f:]
@@ -604,7 +616,7 @@ class Predictor:
         colorspace conversion fuses into the on-device normalize
         (data/preprocess.normalize_yuv420). stacked=True returns one f32
         [2,V] array for single-fetch streaming."""
-        key = ("yuv", num_frames, stacked)
+        key = ("yuv", num_frames, stacked, self.kernel_plan)
         if key in self._jit_cache:
             return self._jit_cache[key]
         net = self.net
@@ -612,6 +624,9 @@ class Predictor:
         sample = not self.deterministic_vae
 
         from genconvit_tpu.data.preprocess import normalize_yuv420
+        from genconvit_tpu.ops.kernel_plan import plan_scope
+
+        plan = self.kernel_plan
 
         def fn(params, yp, up, vp, matrix, mask, rng):
             v, f, hh, ww = yp.shape
@@ -621,7 +636,8 @@ class Predictor:
                                  up.reshape(v * f, hh // 2, ww // 2),
                                  vp.reshape(v * f, hh // 2, ww // 2),
                                  matrix, dtype)
-            logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
+            with plan_scope(plan):
+                logits, _ = genconvit_apply(params, x, net=net, rng=rng, sample=sample)
             if net == "genconvit":
                 ed, vae = logits[: v * f], logits[v * f:]
                 per_video = jnp.concatenate(

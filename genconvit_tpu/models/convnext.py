@@ -164,14 +164,14 @@ def _block(p: Dict, x: jax.Array) -> jax.Array:
     #  * bf16 -> LN-folded XLA block + rational GELU (_block_xla_folded):
     #    beats both the plain XLA graph and the fused Pallas slab kernel,
     #    whose cost was dominated by the erf GELU / LN VPU passes anyway.
-    #  * GENCONVIT_PALLAS=1 force-on keeps the Pallas slab kernel selectable
-    #    for the big stages (A/B harness + regression tracking).
+    #  * KernelPlan.pallas='1' force-on keeps the Pallas slab kernel
+    #    selectable for the big stages (A/B harness + regression tracking).
     #  * f32 (CPU tests, default-dtype training) -> the standard graph,
     #    bit-comparable with the torch oracles.
-    import os
+    from genconvit_tpu.ops.kernel_plan import current_plan
 
     if x.dtype == jnp.bfloat16:
-        if (os.environ.get("GENCONVIT_PALLAS") == "1"
+        if (current_plan().pallas == "1"
                 and x.shape[1] >= 28 and x.shape[1] % 14 == 0):
             return _block_pallas_op(p, x)
         return _block_xla_folded(p, x)
@@ -410,13 +410,13 @@ _features_mlp_kernel.defvjp(_features_mlp_fwd, _features_mlp_bwd)
 def _apply_stage(blocks, x: jax.Array, stage_idx: int = -1) -> jax.Array:
     """Apply a stage's blocks. The bf16-TPU default never reaches here (the
     whole-backbone kernel path intercepts in convnext_features);
-    GENCONVIT_PALLAS=mlp[:0,1] selects the per-stage hybrid XLA-dw +
+    KernelPlan.pallas='mlp[:0,1]' selects the per-stage hybrid XLA-dw +
     Pallas-MLP-tail path by 0-based stage index (59.2 ms/launch vs the
-    55.5 default, STATUS.md); =stage/=1 select the older fused-kernel A/B
-    paths; anything else (incl. =0) is the plain XLA folded dispatch."""
-    import os
+    55.5 default, STATUS.md); 'stage'/'1' select the older fused-kernel A/B
+    paths; anything else (incl. '0') is the plain XLA folded dispatch."""
+    from genconvit_tpu.ops.kernel_plan import current_plan
 
-    mode = os.environ.get("GENCONVIT_PALLAS", "")
+    mode = current_plan().pallas
     if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
             and mode.startswith("mlp") and mode != "mlpfull"):
         sel = mode.partition(":")[2]
@@ -442,18 +442,17 @@ def convnext_features(params: Dict, x: jax.Array) -> jax.Array:
     bf16 TPU single-device inference DEFAULTS to the whole-backbone
     transposed/padded kernel path (_features_mlp_kernel) — fastest measured:
     55.5 ms/launch on the V=8 ensemble vs 59.2 for the per-stage hybrid
-    (GENCONVIT_PALLAS=mlp[:stages]) and 74.7 for plain XLA
-    (GENCONVIT_PALLAS=0). Single-device only by default: the Pallas custom
-    call is opaque to XLA *auto*-sharding; =mlpfull forces it, and
-    kernel_backbone_scope() (the shard_map data-parallel eval path, where
-    each shard traces with local shapes) enables it per-trace."""
-    import os
+    (KernelPlan.pallas='mlp[:stages]') and 74.7 for plain XLA ('0').
+    Single-device only by default: the Pallas custom call is opaque to XLA
+    *auto*-sharding; 'mlpfull' forces it, and kernel_backbone_scope() (the
+    shard_map data-parallel eval path, where each shard traces with local
+    shapes) enables it per-trace."""
+    from genconvit_tpu.ops.kernel_plan import current_plan
 
-    from genconvit_tpu.ops.act import _exact_gelu_forced
-
-    mode = os.environ.get("GENCONVIT_PALLAS", "")
+    plan = current_plan()
+    mode = plan.pallas
     if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
-            and not _exact_gelu_forced()  # exact erf has no Mosaic lowering —
+            and plan.gelu != "exact"  # exact erf has no Mosaic lowering —
             # honor the knob by falling back to the XLA graph
             and (mode == "mlpfull"
                  or (mode == "" and (jax.device_count() == 1

@@ -25,8 +25,6 @@ bit-comparable. GENCONVIT_EXACT_GELU=1 forces exact erf on bf16 too.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 
@@ -78,14 +76,16 @@ def _erf_rational_f32_lo(z: jax.Array) -> jax.Array:
 
 
 def _hp_gelu_forced() -> bool:
-    return os.environ.get("GENCONVIT_GELU", "") == "hp"
+    from genconvit_tpu.ops.kernel_plan import current_plan
+
+    return current_plan().gelu == "hp"
 
 
 def gelu_fast(x: jax.Array) -> jax.Array:
     """Exact-erf-form GELU via the rational approximation (any float dtype);
     returns x's dtype. ~3-4x cheaper than XLA's erf on the TPU VPU. Default
-    is the low-degree tier (module docstring); GENCONVIT_GELU=hp selects the
-    8.7e-7 rational."""
+    is the low-degree tier (module docstring); KernelPlan.gelu='hp'
+    (GENCONVIT_GELU=hp at construction) selects the 8.7e-7 rational."""
     x32 = x.astype(jnp.float32)
     erf_fn = _erf_rational_f32 if _hp_gelu_forced() else _erf_rational_f32_lo
     e = erf_fn(x32 * jnp.float32(0.7071067811865476))
@@ -93,7 +93,9 @@ def gelu_fast(x: jax.Array) -> jax.Array:
 
 
 def _exact_gelu_forced() -> bool:
-    return os.environ.get("GENCONVIT_EXACT_GELU", "0") == "1"
+    from genconvit_tpu.ops.kernel_plan import current_plan
+
+    return current_plan().gelu == "exact"
 
 
 def gelu(x: jax.Array) -> jax.Array:

@@ -1,0 +1,93 @@
+"""Kernel-selection plan: which compute-path variants trace into a program.
+
+Round-2 selected Pallas/GELU/panel variants by reading os.environ inside
+traced functions. That is a footgun twice over: (a) a long-lived process
+mutating env between traces silently gets whichever variant traced first at
+a given shape (the knobs are invisible to jit's cache key), and (b) the
+selection is scattered instead of explicit. This module centralizes it:
+
+  * `KernelPlan` — a frozen, hashable dataclass of every kernel knob;
+  * `KernelPlan.from_env()` — the ONE place env vars are read. CLIs and
+    the Predictor/train constructors call it once at construction;
+  * `plan_scope(plan)` — binds a plan for the duration of a trace. The
+    engine wraps its jitted bodies in it and keys its jit cache on the
+    plan, so two Predictors with different plans can coexist in one
+    process without aliasing;
+  * `current_plan()` — what traced model code consults. Inside a
+    plan_scope it returns the bound plan (no env read); outside (direct
+    model calls in tools/tests) it falls back to a fresh from_env() so
+    existing A/B harnesses that flip env between processes keep working.
+
+The Pallas kernels with their own inner jit (ops/pallas/convnext_mlp.py)
+take the knob values as explicit static arguments resolved by their caller,
+so the knobs participate in their jit cache keys.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelPlan:
+    """Everything that selects a compute-path variant at trace time.
+
+    pallas: backbone kernel selection (models/convnext.py dispatch):
+        ''        auto — transposed/padded Pallas backbone on single-device
+                  bf16 TPU (or inside kernel_backbone_scope), XLA otherwise
+        '0'       plain XLA folded path everywhere
+        'mlp[:i,j]' per-stage hybrid XLA-dw + Pallas-MLP-tail (A/B path)
+        'mlpfull' force the whole-backbone kernel even multi-device
+        'stage'   whole-stage VMEM-resident chain (A/B path)
+        '1'       v1 fused block kernel (A/B path)
+    gelu: 'default' (deg-3/2 rational) | 'hp' (deg-5/4) | 'exact' (erf)
+    mlp_panel_mb: VMEM budget for the MLP-tail row panels
+    mlp_split: independent row slices per panel (Mosaic overlap experiment)
+    int8_mlp: W8A8 the ConvNeXt MLP tails inside the Pallas kernel
+    """
+
+    pallas: str = ""
+    gelu: str = "default"
+    mlp_panel_mb: int = 8
+    mlp_split: int = 1
+    int8_mlp: bool = False
+
+    @staticmethod
+    def from_env() -> "KernelPlan":
+        gelu = "default"
+        if os.environ.get("GENCONVIT_EXACT_GELU", "0") == "1":
+            gelu = "exact"
+        elif os.environ.get("GENCONVIT_GELU", "") == "hp":
+            gelu = "hp"
+        return KernelPlan(
+            pallas=os.environ.get("GENCONVIT_PALLAS", ""),
+            gelu=gelu,
+            mlp_panel_mb=int(os.environ.get("GENCONVIT_MLP_PANEL", "0") or 0) or 8,
+            mlp_split=int(os.environ.get("GENCONVIT_MLP_SPLIT", "1") or 1),
+            int8_mlp=os.environ.get("GENCONVIT_INT8_MLP", "0") == "1",
+        )
+
+
+_ACTIVE: contextvars.ContextVar[Optional[KernelPlan]] = contextvars.ContextVar(
+    "gcv_kernel_plan", default=None)
+
+
+def current_plan() -> KernelPlan:
+    """The plan bound by the innermost plan_scope, else a fresh env read
+    (compat fallback for direct model calls outside the engine/train
+    wrappers — those see env changes per trace, as before)."""
+    plan = _ACTIVE.get()
+    return plan if plan is not None else KernelPlan.from_env()
+
+
+@contextlib.contextmanager
+def plan_scope(plan: KernelPlan):
+    tok = _ACTIVE.set(plan)
+    try:
+        yield
+    finally:
+        _ACTIVE.reset(tok)

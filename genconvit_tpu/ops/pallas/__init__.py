@@ -1,14 +1,14 @@
 """Pallas TPU kernels.
 
-Enablement policy: GENCONVIT_PALLAS env var — "1" force-on, "0" force-off,
-unset/"auto" = on when the active backend is TPU. Decisions are made at trace
-time from static shapes, so the flag composes with jit.
+Enablement policy: KernelPlan.pallas (ops/kernel_plan.py; env
+GENCONVIT_PALLAS feeds the default) — "1" force-on, "0" force-off, unset =
+on when the active backend is TPU. Decisions are made at trace time from
+static shapes, so the flag composes with jit.
 """
 
 from __future__ import annotations
 
 import contextlib
-import os
 import threading
 
 _local = threading.local()
@@ -17,7 +17,9 @@ _local = threading.local()
 def pallas_enabled() -> bool:
     if getattr(_local, "disabled", 0):
         return False
-    flag = os.environ.get("GENCONVIT_PALLAS", "auto")
+    from genconvit_tpu.ops.kernel_plan import current_plan
+
+    flag = current_plan().pallas
     if flag == "1":
         return True
     if flag == "0":

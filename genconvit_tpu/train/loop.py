@@ -34,15 +34,22 @@ log = logging.getLogger("genconvit_tpu")
 
 
 def make_loss_fn(net: str, use_kl: bool = False, dtype=jnp.float32,
-                 remat: bool = True):
+                 remat: bool = True, plan=None):
     """remat: rematerialize the forward in the backward pass (jax.checkpoint)
     — trades ~1/3 extra FLOPs for activation memory, which keeps 224x224
-    batch-32 ensemble training inside a single chip's HBM."""
+    batch-32 ensemble training inside a single chip's HBM.
+    plan: KernelPlan resolved at construction (env-fed default); traced code
+    never reads os.environ."""
+    from genconvit_tpu.ops.kernel_plan import KernelPlan, plan_scope
+
+    plan = plan or KernelPlan.from_env()
+
     def fwd(params, x, rng):
         # Pallas forward kernels are differentiable via custom VJPs
         # (models/convnext._block_pallas_op), so training keeps them.
-        return genconvit_apply(params, x, net=net, rng=rng,
-                               sample=True, train=True)
+        with plan_scope(plan):
+            return genconvit_apply(params, x, net=net, rng=rng,
+                                   sample=True, train=True)
 
     apply = jax.checkpoint(fwd) if remat else fwd
 
@@ -95,8 +102,9 @@ def _write_back_bn(params: Dict[str, Any], bn_stats, net: str) -> Dict[str, Any]
 
 
 def make_train_step(net: str, tx: optax.GradientTransformation,
-                    use_kl: bool = False, dtype=jnp.float32, donate: bool = True):
-    loss_fn = make_loss_fn(net, use_kl, dtype)
+                    use_kl: bool = False, dtype=jnp.float32, donate: bool = True,
+                    plan=None):
+    loss_fn = make_loss_fn(net, use_kl, dtype, plan=plan)
 
     def step(params, opt_state, images_u8, labels, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -109,11 +117,16 @@ def make_train_step(net: str, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
-def make_eval_step(net: str, use_kl: bool = False, dtype=jnp.float32):
+def make_eval_step(net: str, use_kl: bool = False, dtype=jnp.float32, plan=None):
+    from genconvit_tpu.ops.kernel_plan import KernelPlan, plan_scope
+
+    plan = plan or KernelPlan.from_env()
+
     def step(params, images_u8, labels, rng):
         x = normalize_batch(images_u8, dtype)
-        logits, aux = genconvit_apply(params, x, net=net, rng=rng,
-                                      sample=True, train=False)
+        with plan_scope(plan):
+            logits, aux = genconvit_apply(params, x, net=net, rng=rng,
+                                          sample=True, train=False)
         tgt = jnp.concatenate([labels, labels]) if net == "genconvit" else labels
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), tgt).mean()
