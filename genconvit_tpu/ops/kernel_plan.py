@@ -47,14 +47,22 @@ class KernelPlan:
     gelu: 'default' (deg-3/2 rational) | 'hp' (deg-5/4) | 'exact' (erf)
     mlp_panel_mb: VMEM budget for the MLP-tail row panels
     mlp_split: independent row slices per panel (Mosaic overlap experiment)
-    int8_mlp: W8A8 the ConvNeXt MLP tails inside the Pallas kernel
+    int8_mlp: int8 MLP tails inside the Pallas kernel:
+        ''      off (bf16 matmuls)
+        'fc1'   int8 fc1 only, FIXED activation scale (LN rows have exact
+                unit variance, so the scale is a compile-time constant and
+                quantization adds ~3 VPU ops with zero reduces/dequants)
+        'full'  W8A8 both matmuls, per-row absmax activation scales
+                (measured NET SLOWER on v5e: the absmax+dequant VPU passes
+                over the 4C-wide hidden exceed the MXU saving — kept for
+                A/B and future chips; tools/microbench_int8_dot.py)
     """
 
     pallas: str = ""
     gelu: str = "default"
     mlp_panel_mb: int = 8
     mlp_split: int = 1
-    int8_mlp: bool = False
+    int8_mlp: str = ""
 
     @staticmethod
     def from_env() -> "KernelPlan":
@@ -68,7 +76,9 @@ class KernelPlan:
             gelu=gelu,
             mlp_panel_mb=int(os.environ.get("GENCONVIT_MLP_PANEL", "0") or 0) or 8,
             mlp_split=int(os.environ.get("GENCONVIT_MLP_SPLIT", "1") or 1),
-            int8_mlp=os.environ.get("GENCONVIT_INT8_MLP", "0") == "1",
+            int8_mlp={"0": "", "": "", "1": "full"}.get(
+                os.environ.get("GENCONVIT_INT8_MLP", ""),
+                os.environ.get("GENCONVIT_INT8_MLP", "")),
         )
 
 

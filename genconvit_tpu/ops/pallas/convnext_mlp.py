@@ -156,6 +156,58 @@ def _mlp_kernel_post_ln_int8(dw_ref, x_ref, wq1_ref, s1_ref, bw_ref,
     out_ref[...] = ln.astype(out_ref.dtype)
 
 
+_FIXED_ACT_CLIP = 8.0  # int8 clip point in LN-sigmas for the 'fc1' mode
+
+
+def _mlp_int8_fc1_core(y, wq1_ref, s1_ref, bw_ref, w2g_ref, b2g_ref,
+                       *, c: int, interpret: bool, hp: bool):
+    """fc1-only int8 with a FIXED activation scale: LayerNorm makes every
+    row of y exactly unit-variance, so clipping at _FIXED_ACT_CLIP sigmas
+    gives a compile-time quant scale — quantization is round+clip+cast
+    (no absmax reduce) and the dequant constant is pre-folded into the
+    weight scales (s1 = colmax/127 * clip/127 at the call site). fc2 stays
+    bf16 (its GELU-output operand has no free distribution bound — see
+    KernelPlan.int8_mlp)."""
+    k = jnp.float32(127.0 / _FIXED_ACT_CLIP)
+    yq = jnp.clip(jnp.round(y * k), -127.0, 127.0).astype(jnp.int8)
+    z = jnp.dot(yq, wq1_ref[:], preferred_element_type=jnp.int32)
+    zf = z.astype(jnp.float32) * s1_ref[:] + bw_ref[:]
+    h = gelu_f32(zf, exact_div=interpret, newton=hp, hp=hp)
+    o = jnp.dot(h.astype(w2g_ref.dtype), w2g_ref[:],
+                preferred_element_type=jnp.float32)
+    return o + b2g_ref[:]
+
+
+def _ln_plain(dw_ref, c: int):
+    # no pad-lane masking: unlike 'full' int8 there is no absmax to poison —
+    # pad-lane garbage times the zero wq1 rows contributes exactly 0
+    acc = dw_ref[...].astype(jnp.float32)
+    mean, inv = _row_moments(acc, c)
+    return (acc - mean) * inv
+
+
+def _mlp_kernel_int8_fc1(dw_ref, x_ref, wq1_ref, s1_ref, bw_ref, w2g_ref,
+                         b2g_ref, out_ref, *, c: int, interpret: bool,
+                         hp: bool = False):
+    y = _ln_plain(dw_ref, c)
+    o = _mlp_int8_fc1_core(y, wq1_ref, s1_ref, bw_ref, w2g_ref, b2g_ref,
+                           c=c, interpret=interpret, hp=hp)
+    out_ref[...] = x_ref[...] + o.astype(out_ref.dtype)
+
+
+def _mlp_kernel_post_ln_int8_fc1(dw_ref, x_ref, wq1_ref, s1_ref, bw_ref,
+                                 w2g_ref, b2g_ref, lns2_ref, lnb2_ref,
+                                 out_ref, *, c: int, interpret: bool,
+                                 hp: bool = False):
+    y = _ln_plain(dw_ref, c)
+    o = _mlp_int8_fc1_core(y, wq1_ref, s1_ref, bw_ref, w2g_ref, b2g_ref,
+                           c=c, interpret=interpret, hp=hp)
+    out = x_ref[...].astype(jnp.float32) + o
+    m2, inv2 = _row_moments(out, c)
+    ln = (out - m2) * inv2 * lns2_ref[:] + lnb2_ref[:]
+    out_ref[...] = ln.astype(out_ref.dtype)
+
+
 def _quant_cols_np(w32):
     """Traced symmetric per-output-column int8 quantization of a folded
     weight (f32 [K, N] -> wq int8, scale [N]); zero columns (channel pads)
@@ -261,7 +313,7 @@ def fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
                           panel_mb: int | None = None,
                           split: int | None = None,
                           hp: bool | None = None,
-                          int8: bool | None = None) -> jax.Array:
+                          int8: str | bool | None = None) -> jax.Array:
     """Plan-resolving wrapper around the jitted kernel: the panel budget,
     split factor, GELU tier, and W8A8 mode default to the active KernelPlan
     (ops/kernel_plan.py) and are passed to the inner jit as STATIC args, so
@@ -294,7 +346,7 @@ def _fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
                            panel_mb: int = 8,
                            split: int = 1,
                            hp: bool = False,
-                           int8: bool = False) -> jax.Array:
+                           int8: str | bool = "") -> jax.Array:
     """dw = depthwise-conv output, x = block input (residual), both
     [N,H,W,C]; p = ConvNeXt block params (models/convnext.py layout).
     Returns the block output. Rows must tile into panels — N*H*W is a
@@ -345,10 +397,26 @@ def _fused_ln_mlp_residual(dw: jax.Array, x: jax.Array, p: Dict,
     b2g = p["mlp"]["fc2"]["bias"].astype(jnp.float32) * gam      # [C]
     rc = real_c if real_c is not None else c
 
-    if int8:
-        # W8A8: per-output-column weight scales computed here (O(C^2) fold,
-        # constant-folded next to the activations); per-row activation
-        # scales in-kernel (_quant_rows)
+    if int8 == "fc1":
+        # int8 fc1 with fixed activation scale: the act dequant constant
+        # (clip/127) folds into the per-column weight scales — zero
+        # in-kernel dequant cost (see _mlp_int8_fc1_core)
+        wq1, s1 = _quant_cols_np(wg32)
+        s1 = s1 * (_FIXED_ACT_CLIP / 127.0)
+        operands = (wq1, s1, bw, w2g32.astype(dt), b2g)
+        extra = ()
+        if post_ln is not None:
+            kernel = functools.partial(_mlp_kernel_post_ln_int8_fc1, c=rc,
+                                       interpret=interpret, hp=hp)
+            lns2, lnb2 = post_ln
+            extra = (lns2.astype(jnp.float32), lnb2.astype(jnp.float32))
+        else:
+            kernel = functools.partial(_mlp_kernel_int8_fc1, c=rc,
+                                       interpret=interpret, hp=hp)
+    elif int8:
+        # 'full' W8A8: per-output-column weight scales computed here
+        # (O(C^2) fold, constant-folded next to the activations); per-row
+        # activation scales in-kernel (_quant_rows)
         wq1, s1 = _quant_cols_np(wg32)
         wq2, s2 = _quant_cols_np(w2g32)
         operands = (wq1, s1, bw, wq2, s2, b2g)

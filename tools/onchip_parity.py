@@ -75,10 +75,13 @@ def main():
                     padding=3, groups=c)
         check(f"pallas_mlp s{si} [{h}x{h}x{c}]",
               ref, fused_ln_mlp_residual(dw, x, pc), 3e-2)
-        # W8A8 tail (KernelPlan.int8_mlp): int8 rounding ~0.4% of column
-        # max stacks on the bf16 reference's own rounding
-        check(f"pallas_mlp_int8 s{si} [{h}x{h}x{c}]",
-              ref, fused_ln_mlp_residual(dw, x, pc, int8=True), 4e-2)
+        # int8 tails (KernelPlan.int8_mlp): int8 rounding ~0.4% of column
+        # max stacks on the bf16 reference's own rounding; 'fc1' adds the
+        # fixed 8-sigma activation-scale coarsening
+        check(f"pallas_mlp_int8full s{si} [{h}x{h}x{c}]",
+              ref, fused_ln_mlp_residual(dw, x, pc, int8="full"), 4e-2)
+        check(f"pallas_mlp_int8fc1 s{si} [{h}x{h}x{c}]",
+              ref, fused_ln_mlp_residual(dw, x, pc, int8="fc1"), 4e-2)
         # padded-channel stage path (the GENCONVIT_PALLAS=mlp integration)
         from genconvit_tpu.models.convnext import _apply_stage_mlp_kernel
 
