@@ -75,10 +75,43 @@ def _patch_shuffle(img: np.ndarray, rng: np.random.Generator,
     return out.reshape(hp * patch, wp * patch, 3)
 
 
+def _intact_crop(rng: np.random.Generator, frames: List[np.ndarray]
+                 ) -> Optional[np.ndarray]:
+    """Random INTACT crop of a real frame, steered away from the frame
+    center (where the talking head usually is). Unlike the patch-shuffled
+    backgrounds these keep coherent real-world structure — windows, walls,
+    furniture — which the first-generation model had never seen and fired
+    on (real-frame fixture: top-scored boxes on a blank window)."""
+    import cv2
+
+    if not frames:
+        return None
+    f = frames[rng.integers(0, len(frames))]
+    h, w = f.shape[:2]
+    side = int(min(h, w) * rng.uniform(0.3, 0.9))
+    # bias toward the frame edges: corners/sides rarely contain the face
+    u = rng.random()
+    left = int((0 if u < 0.5 else w - side) * rng.random()) if w > side else 0
+    top = int(rng.integers(0, max(h - side, 1)))
+    crop = f[top: top + side, left: left + side]
+    crop = cv2.resize(crop, (INPUT, INPUT), interpolation=cv2.INTER_AREA)
+    # veto crops that may contain the real (unlabeled) face: skin fraction
+    ycrcb = cv2.cvtColor(crop, cv2.COLOR_RGB2YCrCb)
+    skin = cv2.inRange(ycrcb, (0, 133, 77), (255, 180, 127))
+    if skin.mean() / 255.0 > 0.10:
+        return None
+    return crop
+
+
 def _background(rng: np.random.Generator, frames: List[np.ndarray]) -> np.ndarray:
     import cv2
 
     kind = rng.integers(0, 10)
+    if kind < 4 and frames:  # intact real-frame crop (realistic negatives)
+        bg = _intact_crop(rng, frames)
+        if bg is not None:
+            return bg
+        kind = 5
     if kind < 6 and frames:  # patch-shuffled real frame
         f = frames[rng.integers(0, len(frames))]
         bg = _patch_shuffle(f, rng)
@@ -125,9 +158,22 @@ def _paste(canvas: np.ndarray, face: np.ndarray,
     sw = size
     sh, sw = min(sh, INPUT - 2), min(sw, INPUT - 2)
     face = cv2.resize(face, (sw, sh), interpolation=cv2.INTER_AREA)
+    alpha = _feather_alpha(sh, sw, margin=max(2, size // 16))
+    if rng.random() < 0.45:
+        # pose augmentation: rotation + horizontal shear (the dlib source
+        # crops are frontal; sheared views approximate the 3/4-and-profile
+        # heads that dominate some real footage — fixture video aajsqyyjni)
+        ang = rng.uniform(-22, 22)
+        shear = rng.uniform(-0.35, 0.35)
+        M = cv2.getRotationMatrix2D((sw / 2, sh / 2), ang, 1.0)
+        M[0, 1] += shear
+        M[0, 2] -= shear * sh / 2
+        face = cv2.warpAffine(face, M, (sw, sh), flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_REFLECT)
+        alpha = cv2.warpAffine(alpha[..., 0], M, (sw, sh),
+                               flags=cv2.INTER_LINEAR)[..., None]
     top = int(rng.integers(0, INPUT - sh))
     left = int(rng.integers(0, INPUT - sw))
-    alpha = _feather_alpha(sh, sw, margin=max(2, size // 16))
     region = canvas[top: top + sh, left: left + sw].astype(np.float32)
     canvas[top: top + sh, left: left + sw] = (
         alpha * face + (1 - alpha) * region).astype(np.uint8)
@@ -143,7 +189,7 @@ def composite_sample(faces: List[np.ndarray], frames: List[np.ndarray],
     for _ in range(n_faces):
         face = faces[rng.integers(0, len(faces))]
         boxes.append(_paste(canvas, face, rng))
-    if rng.random() < 0.12:  # negatives: background-only images
+    if rng.random() < 0.2:  # negatives: background-only images
         canvas = _background(rng, frames)
         boxes = []
     return canvas, boxes

@@ -160,6 +160,7 @@ class JaxFaceDetector(FaceDetector):
 
         self._input = INPUT_SIZE
         self.score_thresh = score_thresh
+        self.max_faces = max_faces
         if checkpoint and os.path.isfile(checkpoint):
             from genconvit_tpu.core.checkpoint import load_checkpoint
 
@@ -178,29 +179,97 @@ class JaxFaceDetector(FaceDetector):
         self._fn = jax.jit(functools.partial(
             detect_batch, max_faces=max_faces, score_thresh=score_thresh))
 
+    @staticmethod
+    def _starts(dim: int, side: int) -> np.ndarray:
+        """Window starts covering [0, dim) with >=50% overlap."""
+        if side >= dim:
+            return np.zeros(1, np.int64)
+        n = int(np.ceil((dim - side) / (side / 2))) + 1
+        return np.unique(np.round(np.linspace(0, dim - side, n)).astype(np.int64))
+
+    def _windows(self, h: int, w: int) -> List[Tuple[int, int, int]]:
+        """(top, left, side) square sub-windows: aspect-preserving scale
+        pyramid. The model was trained on faces 0.28-0.85 of its 128px input
+        (data/facedet_synth.py _paste), so a face must occupy that fraction
+        of SOME window to be in-domain: scale 1 covers faces >=~0.3 of the
+        short side, scale 1/2 covers ~0.15-0.4 (the talking-head range in
+        1080p footage — measured on tests/fixtures/facedet_realframes.json,
+        where whole-frame squeeze inference scored IoU 0.02-0.04 on 1080p).
+        Small inputs keep the single-window path (a 64px window would be
+        upsampled noise)."""
+        m = min(h, w)
+        scales = (1.0,) if m <= 2 * self._input else (1.0, 0.5, 1 / 3)
+        wins: List[Tuple[int, int, int]] = []
+        if h != w:
+            # anisotropic full-frame squeeze: the only view that keeps a
+            # face WIDER than the short side fully inside the input
+            # (extreme close-ups), at the cost of aspect distortion
+            wins.append((0, 0, -1))
+        for s in scales:
+            side = int(round(m * s))
+            if side < 2 * self._input and s != 1.0:
+                continue  # upsampled-noise windows
+            for top in self._starts(h, side):
+                for left in self._starts(w, side):
+                    wins.append((int(top), int(left), side))
+        return wins
+
     def detect(self, frames: np.ndarray) -> List[List[Box]]:
         import cv2
 
         h, w = frames.shape[1:3]
-        small = np.stack([
-            cv2.resize(f, (self._input, self._input),
-                       interpolation=cv2.INTER_AREA) for f in frames])
-        scores, boxes = self._fn(self.params, small)
-        scores, boxes = np.asarray(scores), np.asarray(boxes)
+        wins = self._windows(h, w)
+        crops = np.empty((len(frames) * len(wins), self._input, self._input, 3),
+                         np.uint8)
+        i = 0
+        for f in frames:
+            for (top, left, side) in wins:
+                src = f if side < 0 else f[top: top + side, left: left + side]
+                crops[i] = cv2.resize(src, (self._input, self._input),
+                                      interpolation=cv2.INTER_AREA)
+                i += 1
+        scores, boxes = self._fn(self.params, crops)
+        scores = np.asarray(scores).reshape(len(frames), len(wins), -1)
+        boxes = np.asarray(boxes).reshape(len(frames), len(wins), -1, 4)
         out: List[List[Box]] = []
         for fi in range(len(frames)):
-            faces: List[Box] = []
-            for s, (cy, cx, bh, bw) in zip(scores[fi], boxes[fi]):
-                if s <= self.score_thresh or not np.isfinite(s):
-                    continue
-                top = int(np.clip((cy - bh / 2) * h, 0, h))
-                bottom = int(np.clip((cy + bh / 2) * h, 0, h))
-                left = int(np.clip((cx - bw / 2) * w, 0, w))
-                right = int(np.clip((cx + bw / 2) * w, 0, w))
-                if bottom > top and right > left:
-                    faces.append((top, right, bottom, left))
-            out.append(faces)
+            cands: List[Tuple[float, Box]] = []
+            for wi, (top0, left0, side) in enumerate(wins):
+                sy, sx = (h, w) if side < 0 else (side, side)
+                for s, (cy, cx, bh, bw) in zip(scores[fi, wi], boxes[fi, wi]):
+                    if s <= self.score_thresh or not np.isfinite(s):
+                        continue
+                    t = int(np.clip(top0 + (cy - bh / 2) * sy, 0, h))
+                    b = int(np.clip(top0 + (cy + bh / 2) * sy, 0, h))
+                    lf = int(np.clip(left0 + (cx - bw / 2) * sx, 0, w))
+                    r = int(np.clip(left0 + (cx + bw / 2) * sx, 0, w))
+                    if b > t and r > lf:
+                        cands.append((float(s), (t, r, b, lf)))
+            out.append(self._merge(cands))
         return out
+
+    def _merge(self, cands: List[Tuple[float, Box]],
+               iou_thresh: float = 0.45) -> List[Box]:
+        """Greedy cross-window NMS on frame-coordinate boxes."""
+        cands.sort(key=lambda c: -c[0])
+        kept: List[Box] = []
+        for _, box in cands:
+            if len(kept) >= self.max_faces:
+                break
+            t, r, b, lf = box
+            area = (b - t) * (r - lf)
+            dup = False
+            for (t2, r2, b2, l2) in kept:
+                ih = max(0, min(b, b2) - max(t, t2))
+                iw = max(0, min(r, r2) - max(lf, l2))
+                inter = ih * iw
+                union = area + (b2 - t2) * (r2 - l2) - inter
+                if union > 0 and inter / union >= iou_thresh:
+                    dup = True
+                    break
+            if not dup:
+                kept.append(box)
+        return kept
 
 
 def make_detector(backend: str, **kwargs) -> FaceDetector:

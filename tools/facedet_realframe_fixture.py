@@ -142,7 +142,11 @@ def freeze(curation_path):
     print(f"froze {len(fixture['boxes'])} curated boxes -> {FIXTURE}")
 
 
-def evaluate():
+def evaluate(backends=("jax",), checkpoint=None):
+    """Per-backend IoU of detected crops vs the curated boxes — the
+    crop-geometry sensitivity table (VERDICT r2 item #3): how much face the
+    engine's 224x224 crop actually contains under each backend bounds the
+    'crop geometry affects AUC' parity risk (SURVEY.md §7.3-3)."""
     from genconvit_tpu.data.faces import make_detector
 
     with open(FIXTURE) as f:
@@ -151,34 +155,43 @@ def evaluate():
     for key, e in fixture.items():
         name, fi = key.rsplit("#", 1)
         by_video.setdefault(name, []).append((int(fi), e["box"]))
-    det = make_detector("jax")
-    all_ious, per_video = [], {}
+    kwargs = {"jax": {"checkpoint": checkpoint}} if checkpoint else {}
+    dets = {b: make_detector(b, **kwargs.get(b, {})) for b in backends}
+    ious = {b: [] for b in backends}
+    per_video = {b: {} for b in backends}
     for name, items in sorted(by_video.items()):
         vp = os.path.join(SAMPLE_DIR, name)
         import cv2
 
         cap = cv2.VideoCapture(vp)
-        vid_ious = []
+        frames, gts = [], []
         for fi, box in sorted(items):
             cap.set(cv2.CAP_PROP_POS_FRAMES, fi)
             ok, fr = cap.read()
-            if not ok:
-                continue
-            fr = cv2.cvtColor(fr, cv2.COLOR_BGR2RGB)
-            dets = det.detect(fr[None])[0]
-            best = max((iou(tuple(box), d) for d in dets), default=0.0)
-            vid_ious.append(best)
+            if ok:
+                frames.append(cv2.cvtColor(fr, cv2.COLOR_BGR2RGB))
+                gts.append(box)
         cap.release()
-        per_video[name] = (float(np.mean(vid_ious)) if vid_ious else 0.0,
-                           len(vid_ious))
-        all_ious += vid_ious
-        print(f"{name}: mean IoU {per_video[name][0]:.3f} "
-              f"({len(vid_ious)} frames)")
-    mean = float(np.mean(all_ious)) if all_ious else 0.0
-    det50 = float(np.mean([v >= 0.5 for v in all_ious])) if all_ious else 0.0
-    print(f"\nOVERALL: mean IoU {mean:.3f}, IoU>=0.5 on {det50:.1%} of "
-          f"{len(all_ious)} curated real frames")
-    return mean, det50
+        if not frames:
+            continue
+        arr = np.stack(frames)
+        for b, det in dets.items():
+            found = det.detect(arr)
+            vid = [max((iou(tuple(gt), d) for d in dd), default=0.0)
+                   for gt, dd in zip(gts, found)]
+            per_video[b][name] = float(np.mean(vid))
+            ious[b] += vid
+        row = "  ".join(f"{b}={per_video[b][name]:.3f}" for b in backends)
+        print(f"{name} ({len(frames)} frames): {row}")
+    print()
+    out = {}
+    for b in backends:
+        mean = float(np.mean(ious[b])) if ious[b] else 0.0
+        det50 = float(np.mean([v >= 0.5 for v in ious[b]])) if ious[b] else 0.0
+        out[b] = (mean, det50)
+        print(f"OVERALL {b:>10}: mean IoU {mean:.3f}, IoU>=0.5 on "
+              f"{det50:.1%} of {len(ious[b])} curated real frames")
+    return out
 
 
 if __name__ == "__main__":
@@ -187,10 +200,14 @@ if __name__ == "__main__":
     ap.add_argument("--out-dir", default="/tmp/facedet_realframe")
     ap.add_argument("--per-video", type=int, default=10)
     ap.add_argument("--curation")
+    ap.add_argument("--backends", default="jax",
+                    help="comma list: jax,fullframe,center,skin")
+    ap.add_argument("--checkpoint", default=None,
+                    help="alternate facedet checkpoint for the jax backend")
     args = ap.parse_args()
     if args.stage == "propose":
         propose(args.out_dir, args.per_video)
     elif args.stage == "freeze":
         freeze(args.curation)
     else:
-        evaluate()
+        evaluate(tuple(args.backends.split(",")), checkpoint=args.checkpoint)
