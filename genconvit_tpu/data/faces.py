@@ -148,7 +148,7 @@ class JaxFaceDetector(FaceDetector):
 
     def __init__(self, checkpoint: Optional[str] = None,
                  score_thresh: float = 0.3, max_faces: int = 4,
-                 allow_random: bool = False):
+                 allow_random: bool = False, fuse: bool = True):
         # score_thresh 0.3: top-detection scores on the reference's real
         # sample frames cluster 0.33-0.63 (synthetic-composite training
         # domain gap); 0.5 missed over half the frames, 0.3 fires on ~95%
@@ -161,6 +161,7 @@ class JaxFaceDetector(FaceDetector):
         self._input = INPUT_SIZE
         self.score_thresh = score_thresh
         self.max_faces = max_faces
+        self.fuse = fuse
         if checkpoint and os.path.isfile(checkpoint):
             from genconvit_tpu.core.checkpoint import load_checkpoint
 
@@ -231,7 +232,7 @@ class JaxFaceDetector(FaceDetector):
         scores, boxes = self._fn(self.params, crops)
         scores = np.asarray(scores).reshape(len(frames), len(wins), -1)
         boxes = np.asarray(boxes).reshape(len(frames), len(wins), -1, 4)
-        out: List[List[Box]] = []
+        merged: List[List[Tuple[float, Box]]] = []
         for fi in range(len(frames)):
             cands: List[Tuple[float, Box]] = []
             for wi, (top0, left0, side) in enumerate(wins):
@@ -245,31 +246,51 @@ class JaxFaceDetector(FaceDetector):
                     r = int(np.clip(left0 + (cx + bw / 2) * sx, 0, w))
                     if b > t and r > lf:
                         cands.append((float(s), (t, r, b, lf)))
-            out.append(self._merge(cands))
-        return out
+            merged.append(self._merge(cands))
+        return [[box for _, box in frame] for frame in merged]
+
+    @staticmethod
+    def _iou(a: Box, b: Box) -> float:
+        ih = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+        iw = max(0, min(a[1], b[1]) - max(a[3], b[3]))
+        inter = ih * iw
+        union = ((a[2] - a[0]) * (a[1] - a[3])
+                 + (b[2] - b[0]) * (b[1] - b[3]) - inter)
+        return inter / union if union > 0 else 0.0
 
     def _merge(self, cands: List[Tuple[float, Box]],
-               iou_thresh: float = 0.45) -> List[Box]:
-        """Greedy cross-window NMS on frame-coordinate boxes."""
+               iou_thresh: float = 0.45) -> List[Tuple[float, Box]]:
+        """Cross-window NMS on frame-coordinate boxes. With `fuse` (default),
+        each kept detection is the score-weighted mean of its overlapping
+        cluster (weighted box fusion) — the same face seen from several
+        pyramid windows localizes better averaged than picked: mean IoU
+        0.513 vs 0.495 pick-top on the real-frame fixture. Two further
+        passes measured on the same fixture and NOT shipped: re-scoring each
+        box on a recentered 2x window (no gain), and per-video temporal
+        track consensus (0.505 — slightly worse; the track median drags
+        good frames toward the occasional coherent mislocalization)."""
         cands.sort(key=lambda c: -c[0])
-        kept: List[Box] = []
-        for _, box in cands:
-            if len(kept) >= self.max_faces:
-                break
-            t, r, b, lf = box
-            area = (b - t) * (r - lf)
-            dup = False
-            for (t2, r2, b2, l2) in kept:
-                ih = max(0, min(b, b2) - max(t, t2))
-                iw = max(0, min(r, r2) - max(lf, l2))
-                inter = ih * iw
-                union = area + (b2 - t2) * (r2 - l2) - inter
-                if union > 0 and inter / union >= iou_thresh:
-                    dup = True
+        clusters: List[List[Tuple[float, Box]]] = []
+        for s, box in cands:
+            for cl in clusters:
+                if self._iou(cl[0][1], box) >= iou_thresh:
+                    if self.fuse:
+                        cl.append((s, box))
                     break
-            if not dup:
-                kept.append(box)
-        return kept
+            else:
+                if len(clusters) < self.max_faces:
+                    clusters.append([(s, box)])
+        out: List[Tuple[float, Box]] = []
+        for cl in clusters:
+            top_s = cl[0][0]
+            if not self.fuse or len(cl) == 1:
+                out.append((top_s, cl[0][1]))
+                continue
+            wsum = sum(s for s, _ in cl)
+            fused = tuple(int(round(sum(s * b[i] for s, b in cl) / wsum))
+                          for i in range(4))
+            out.append((top_s, fused))  # type: ignore[arg-type]
+        return out
 
 
 def make_detector(backend: str, **kwargs) -> FaceDetector:
@@ -293,7 +314,8 @@ def make_detector(backend: str, **kwargs) -> FaceDetector:
     if backend == "jax":
         return JaxFaceDetector(
             kwargs.get("checkpoint", default_facedet_checkpoint()),
-            **{k: v for k, v in kwargs.items() if k in ("score_thresh", "max_faces")})
+            **{k: v for k, v in kwargs.items()
+               if k in ("score_thresh", "max_faces", "fuse")})
     raise ValueError(f"unknown face backend: {backend}")
 
 
