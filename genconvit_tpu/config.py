@@ -59,9 +59,11 @@ class Config:
     # 'float32' elsewhere. The reference's --fp16 flag maps to bfloat16.
     compute_dtype: str = "float32"
     # Face-detection backend: 'jax' (on-device detector, committed
-    # checkpoint in genconvit_tpu/assets/) | 'haar' | 'skin' | 'fullframe' |
-    # 'recorded' | 'none'. The engine warns and falls back to 'fullframe'
-    # if the chosen backend's artifacts are missing.
+    # checkpoint in genconvit_tpu/assets/) | 'hybrid' (haar-first + jax
+    # fallback, quality leader on real frames) | 'haar' (pretrained system
+    # cascade via the native shim) | 'skin' | 'fullframe' | 'recorded' |
+    # 'none'. The engine warns and falls back to 'fullframe' if the chosen
+    # backend's artifacts are missing.
     face_backend: str = "jax"
     # Where weights live (ref hardcodes 'weight/' CWD-relative).
     weight_dir: str = "weight"

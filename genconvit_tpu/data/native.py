@@ -72,6 +72,41 @@ def native_available() -> bool:
     return _load() is not None
 
 
+_facedet_lib: Optional[ctypes.CDLL] = None
+_facedet_failed = False
+
+
+def load_facedet_lib() -> Optional[ctypes.CDLL]:
+    """Native Haar-cascade shim (native/gcv_facedet.cc) — system OpenCV 4
+    C++ objdetect over a C ABI; the cv2 5.x Python wheel removed the
+    CascadeClassifier binding. None when unbuilt."""
+    global _facedet_lib, _facedet_failed
+    if _facedet_lib is not None or _facedet_failed:
+        return _facedet_lib
+    p = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                     "libgcvfacedet.so")
+    p = os.environ.get("GENCONVIT_FACEDET_LIB", p)
+    if os.path.isfile(p):
+        try:
+            lib = ctypes.CDLL(os.path.abspath(p))
+        except OSError:
+            lib = None
+        if lib is not None:
+            lib.gcv_haar_create.restype = ctypes.c_void_p
+            lib.gcv_haar_create.argtypes = [ctypes.c_char_p]
+            lib.gcv_haar_destroy.argtypes = [ctypes.c_void_p]
+            lib.gcv_haar_detect.restype = ctypes.c_int
+            lib.gcv_haar_detect.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+            _facedet_lib = lib
+            return _facedet_lib
+    _facedet_failed = True
+    return None
+
+
 def decode_videos_batch(paths, frames_per_video: int, out_w: int, out_h: int,
                         threads: int = 0):
     """C++ thread-pool batch decode: returns (frames uint8

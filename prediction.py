@@ -43,7 +43,7 @@ def gen_parser() -> argparse.Namespace:
     p.add_argument("--net", choices=["ed", "vae", "genconvit"],
                    default="genconvit", help="branch selection (working B14 fix)")
     p.add_argument("--face-backend", default=None,
-                   help="jax|fullframe|center|skin|haar|recorded")
+                   help="jax|hybrid|haar|fullframe|center|skin|recorded")
     p.add_argument("--face-sidecar", default=None,
                    help="recorded-boxes JSON for --face-backend recorded "
                         "(from tools/record_reference_torch.py)")

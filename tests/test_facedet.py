@@ -95,6 +95,46 @@ def test_jax_backend_integration(rng):
             assert 0 <= t < b <= 240 and 0 <= l < r <= 320
 
 
+def _haar_available():
+    from genconvit_tpu.data.faces import _find_cascade
+    from genconvit_tpu.data.native import load_facedet_lib
+
+    return (load_facedet_lib() is not None
+            and _find_cascade("haarcascade_frontalface_default.xml"))
+
+
+@pytest.mark.skipif(not _haar_available(),
+                    reason="native haar shim or system cascades missing")
+def test_haar_backend_smoke():
+    """Native shim loads the system cascade and runs without firing on a
+    faceless gradient (the quality bar lives on real frames below)."""
+    from genconvit_tpu.data.faces import make_detector
+
+    det = make_detector("haar")
+    ramp = np.linspace(0, 255, 320, dtype=np.uint8)
+    frames = np.broadcast_to(ramp, (2, 240, 320)).copy()
+    frames = np.repeat(frames[..., None], 3, axis=-1)
+    out = det.detect(frames)
+    assert len(out) == 2
+    for boxes in out:
+        assert boxes == []
+
+
+@pytest.mark.skipif(not _haar_available(),
+                    reason="native haar shim or system cascades missing")
+def test_haar_downscale_in_frame_coords(rng):
+    """Haar only fires on real faces, so on noise this asserts the
+    downscale=2 path returns boxes (if any) in full-frame coordinates and
+    does not crash on odd-sized frames."""
+    from genconvit_tpu.data.faces import HaarDetector
+
+    det = HaarDetector(downscale=2)
+    frames = (rng.random((2, 479, 641, 3)) * 255).astype(np.uint8)
+    for boxes in det.detect(frames):
+        for (t, r, b, l) in boxes:
+            assert 0 <= t < b <= 479 and 0 <= l < r <= 641
+
+
 @pytest.mark.skipif(not os.path.isfile(ASSET) or not os.path.isdir(REF_FACES),
                     reason="committed facedet asset or reference mount missing")
 def test_committed_checkpoint_iou_on_heldout_faces():
@@ -227,8 +267,11 @@ def test_realframe_fixture_iou():
         union = area(a) + area(b) - inter
         return inter / union if union else 0.0
 
-    det = make_detector("jax")
-    ious_jax, ious_full = [], []
+    backends = {"jax": make_detector("jax")}
+    if _haar_available():
+        backends["hybrid"] = make_detector("hybrid")
+    ious = {b: [] for b in backends}
+    ious_full = []
     for name, items in by_video.items():
         cap = cv2.VideoCapture(
             os.path.join("/root/reference/sample_prediction_data", name))
@@ -244,13 +287,23 @@ def test_realframe_fixture_iou():
             continue
         arr = np.stack(frames)
         h, w = arr.shape[1:3]
-        for gt, found in zip(gts, det.detect(arr)):
-            ious_jax.append(max((iou(gt, d) for d in found), default=0.0))
+        for b, det in backends.items():
+            for gt, found in zip(gts, det.detect(arr)):
+                ious[b].append(max((iou(gt, d) for d in found), default=0.0))
+        for gt in gts:
             ious_full.append(iou(gt, (0, w, h, 0)))
-    mean_jax = float(np.mean(ious_jax))
+    mean_jax = float(np.mean(ious["jax"]))
     mean_full = float(np.mean(ious_full))
     assert mean_jax >= 0.35, f"jax real-frame mean IoU {mean_jax:.3f}"
-    assert np.mean([v >= 0.5 for v in ious_jax]) >= 0.40, \
-        f"jax det-rate@0.5 {np.mean([v >= 0.5 for v in ious_jax]):.3f}"
+    assert np.mean([v >= 0.5 for v in ious["jax"]]) >= 0.40, \
+        f"jax det-rate@0.5 {np.mean([v >= 0.5 for v in ious['jax']]):.3f}"
     assert mean_jax > 1.5 * mean_full, \
         f"jax {mean_jax:.3f} vs fullframe {mean_full:.3f}"
+    if "hybrid" in ious:
+        # quality leader: haar-first localization with jax fallback
+        # (full-fixture table: hybrid 0.543 / jax 0.513 / haar 0.454)
+        mean_hybrid = float(np.mean(ious["hybrid"]))
+        assert mean_hybrid >= 0.40, \
+            f"hybrid real-frame mean IoU {mean_hybrid:.3f}"
+        assert mean_hybrid >= mean_jax - 0.05, \
+            f"hybrid {mean_hybrid:.3f} well below jax {mean_jax:.3f}"

@@ -200,8 +200,8 @@ if __name__ == "__main__":
     ap.add_argument("--out-dir", default="/tmp/facedet_realframe")
     ap.add_argument("--per-video", type=int, default=10)
     ap.add_argument("--curation")
-    ap.add_argument("--backends", default="jax",
-                    help="comma list: jax,fullframe,center,skin")
+    ap.add_argument("--backends", default="hybrid,jax,haar",
+                    help="comma list: hybrid,jax,haar,fullframe,center,skin")
     ap.add_argument("--checkpoint", default=None,
                     help="alternate facedet checkpoint for the jax backend")
     args = ap.parse_args()
