@@ -131,7 +131,9 @@ class HaarDetector(FaceDetector):
 
         self._lib = load_facedet_lib()
         if self._lib is None:
-            raise RuntimeError(
+            # FileNotFoundError so the engine's backend fallback
+            # (infer/engine.py) degrades to 'fullframe' instead of crashing
+            raise FileNotFoundError(
                 "native haar shim not built — run `make -C native` "
                 "(needs the system OpenCV 4 C++ libs)")
         path = cascade_path or _find_cascade("haarcascade_frontalface_default.xml")
@@ -169,7 +171,7 @@ class HaarDetector(FaceDetector):
             for p in self._paths:
                 h = self._lib.gcv_haar_create(p.encode())
                 if not h:
-                    raise RuntimeError(f"failed to load cascade {p!r}")
+                    raise ValueError(f"failed to load cascade {p!r}")
                 handles.append(h)
             self._tls.handles = handles
             with self._reg_lock:
@@ -451,7 +453,7 @@ def make_detector(backend: str, **kwargs) -> FaceDetector:
                        os.environ.get("GENCONVIT_HAAR_CASCADE") or None),
             **{k: v for k, v in kwargs.items()
                if k in ("profile", "scale_factor", "min_neighbors",
-                        "max_faces")})
+                        "max_faces", "downscale")})
     if backend == "recorded":
         sidecar = kwargs.get("sidecar_path",
                              os.environ.get("GENCONVIT_FACE_SIDECAR"))
