@@ -241,31 +241,35 @@ def main():
     elif deadline_left() < 180:
         log(f"yuv stream phase skipped (deadline; {deadline_left():.0f}s left)")
     else:
-        yb = [(
-            (rng.integers(0, 255, (v_batch, FRAMES, IMG, IMG), np.uint8),
-             rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8),
-             rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8)),
-            yuv_affine("bt709", False),
-            np.ones((v_batch, FRAMES), np.float32),
-        ) for _ in range(2)]
-        t0 = time.perf_counter()
-        predictor.predict_videos_stream_yuv(iter(yb))
-        log(f"yuv: first call (compile) {time.perf_counter() - t0:.1f}s")
-        s_iters = int(os.environ.get("GENCONVIT_BENCH_YUV_ITERS", "8"))
-        rates = []
-        for trial in range(trials):
-            if rates and deadline_left() < 120:
-                break
+        try:
+            yb = [(
+                (rng.integers(0, 255, (v_batch, FRAMES, IMG, IMG), np.uint8),
+                 rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8),
+                 rng.integers(0, 255, (v_batch, FRAMES, IMG // 2, IMG // 2), np.uint8)),
+                yuv_affine("bt709", False),
+                np.ones((v_batch, FRAMES), np.float32),
+            ) for _ in range(2)]
             t0 = time.perf_counter()
-            predictor.predict_videos_stream_yuv(yb[i % 2] for i in range(s_iters))
-            dt = time.perf_counter() - t0
-            rates.append(v_batch * s_iters / dt)
-            log(f"yuv stream trial {trial}: {rates[-1]:.1f} videos/s")
-        if max(rates) > 2.0 * min(rates):
-            degraded = True
-        refresh(streamed=round(float(np.median(rates)), 2),
-                extra={"tunnel_streamed_best": round(max(rates), 2)})
-        emit()
+            predictor.predict_videos_stream_yuv(iter(yb))
+            log(f"yuv: first call (compile) {time.perf_counter() - t0:.1f}s")
+            s_iters = int(os.environ.get("GENCONVIT_BENCH_YUV_ITERS", "8"))
+            rates = []
+            for trial in range(trials):
+                if rates and deadline_left() < 120:
+                    break
+                t0 = time.perf_counter()
+                predictor.predict_videos_stream_yuv(yb[i % 2] for i in range(s_iters))
+                dt = time.perf_counter() - t0
+                rates.append(v_batch * s_iters / dt)
+                log(f"yuv stream trial {trial}: {rates[-1]:.1f} videos/s")
+            if max(rates) > 2.0 * min(rates):
+                degraded = True
+            refresh(streamed=round(float(np.median(rates)), 2),
+                    extra={"tunnel_streamed_best": round(max(rates), 2)})
+            emit()
+        except Exception as e:  # keep the headline + later phases alive
+            log(f"yuv stream phase failed ({type(e).__name__}: {e}); "
+                "keeping earlier phases")
 
     # ---- e2e: batched C++ decode + device on the reference's samples ----
     # reuses the RESIDENT predictor; video_batch=8 hits the jit entry the
