@@ -15,16 +15,19 @@ the PyTorch side); the other backends are self-contained:
   skin       classical skin-segmentation heuristic (YCrCb threshold +
              connected components + geometry filters) — reasonable on
              talking-head benchmark footage, zero trained weights
-  haar       pretrained OpenCV Haar cascade (real-face-trained, same
-             classical family as dlib-HOG) through the native C++ shim
+  haar       pretrained OpenCV cascades (real-face-trained, same classical
+             family as dlib-HOG) through the native C++ shim
              native/gcv_facedet.cc — the Python cv2 wheel here is OpenCV 5,
              which removed the CascadeClassifier binding, but the system
              OpenCV 4 C++ install ships both the API and the cascade files
-             (/usr/share/opencv4/haarcascades)
+             (/usr/share/opencv4/haarcascades). Staged scored pipeline:
+             confidence-thresholded frontal -> mirrored-pair profile
+             fallback -> dlib-geometry box calibration (HAAR_CALIBRATION)
   jax        trained on-device batched detector (one TPU call per clip);
              the engine default — see JaxFaceDetector
-  hybrid     haar-first with per-frame jax fallback; quality leader on the
-             real-frame fixture (mean IoU 0.543) — see HybridFaceDetector
+  hybrid     staged cascades fused with jax + jax fallback; quality leader
+             on the real-frame fixture (mean IoU 0.622, LOO-CV 0.593) —
+             see HybridFaceDetector
   recorded   boxes from a JSON sidecar {video_basename: [[t,r,b,l], ...] per frame}
 """
 
@@ -105,6 +108,34 @@ class SkinDetector(FaceDetector):
 
 SYSTEM_CASCADE_DIR = "/usr/share/opencv4/haarcascades"
 
+# Box calibration toward the reference's dlib-HOG crop geometry
+# (ref: model/pred_func.py:67-92 — crop geometry feeds the model, so box
+# CONVENTION matters, not just localization). Haar rects are systematically
+# larger and higher than the dlib-style curated boxes of
+# tests/fixtures/facedet_realframes.json: fit as per-cascade medians of
+# (dx_facing, dy, w_ratio, h_ratio) over matched detections (IoU>=0.1) on
+# that fixture, profile L/R pooled in facing-normalized coords (the mirrored
+# pass shares parameters). Units: detection box size. Leave-one-video-out CV
+# on the fixture: mean IoU 0.593 vs 0.579 uncalibrated for the full hybrid
+# pipeline (tools/facedet_realframe_fixture.py eval).
+HAAR_CALIBRATION = {
+    "front": (-0.041, 0.129, 0.889, 0.968),
+    "profile": (-0.114, 0.136, 0.860, 0.926),
+}
+
+
+def _apply_calib(box: Box, mirrored: bool, calib, h: int, w: int) -> Box:
+    """Shift/scale a (t,r,b,l) box by calibration (dx_facing, dy, sw, sh);
+    dx is in the facing direction, so it flips for mirrored detections."""
+    dx, dy, sw, sh = calib
+    t, r, b, l = box
+    s = (b - t + r - l) / 2
+    cy = (t + b) / 2 + dy * s
+    cx = (l + r) / 2 + (-dx if mirrored else dx) * s
+    hh, hw = (b - t) * sh / 2, (r - l) * sw / 2
+    return (max(0, int(cy - hh)), min(w, int(cx + hw)),
+            min(h, int(cy + hh)), max(0, int(cx - hw)))
+
 
 def _find_cascade(name: str) -> Optional[str]:
     for d in (os.environ.get("GENCONVIT_HAAR_DIR", ""), SYSTEM_CASCADE_DIR):
@@ -115,18 +146,34 @@ def _find_cascade(name: str) -> Optional[str]:
 
 
 class HaarDetector(FaceDetector):
-    """Pretrained OpenCV Haar cascade via the native shim
-    (native/gcv_facedet.cc, ctypes — the cv2 5.x wheel removed the
-    CascadeClassifier Python binding). Real-face-trained, so unlike the
-    synthetic-composite-trained jax backend it carries no training-domain
-    gap; on the real-frame fixture it is the quality leader (see
-    tests/test_facedet.py and STATUS.md). Frontal cascade with an optional
-    profile-cascade second pass for turned heads."""
+    """Pretrained OpenCV cascades via the native shim (native/gcv_facedet.cc,
+    ctypes — the cv2 5.x wheel removed the CascadeClassifier Python binding).
+    Real-face-trained, so unlike the synthetic-composite-trained jax backend
+    it carries no training-domain gap.
+
+    Default mode is the STAGED SCORED pipeline (measured on the curated
+    real-frame fixture, see STATUS.md):
+
+      1. frontal cascade with per-detection confidences (detectMultiScale
+         outputRejectLevels levelWeights). On the fixture, true frontal hits
+         score median 8.2 vs 2.9 for false positives, so `front_thresh`
+         (default 3.0) vetoes the garbage boxes the unscored path returned
+         on non-frontal footage;
+      2. frames with no confident frontal hit fall back to the profile
+         cascade, run on the frame AND its mirror (the cascade is
+         left-profile only) — this covers turned-head footage the frontal
+         cascade misses entirely;
+      3. every kept box is calibrated toward the reference's dlib-style
+         crop geometry (HAAR_CALIBRATION).
+
+    A custom `cascade_path` selects single-cascade legacy mode (unscored,
+    uncalibrated) for arbitrary cascade files."""
 
     def __init__(self, cascade_path: Optional[str] = None,
-                 profile: bool = False, scale_factor: float = 1.1,
+                 profile: bool = True, scale_factor: float = 1.1,
                  min_neighbors: int = 5, max_faces: int = 4,
-                 downscale: int = 1):
+                 downscale: int = 1, front_thresh: float = 3.0,
+                 prof_thresh: float = 0.0, calibrate: bool = True):
         from genconvit_tpu.data.native import load_facedet_lib
 
         self._lib = load_facedet_lib()
@@ -136,6 +183,7 @@ class HaarDetector(FaceDetector):
             raise FileNotFoundError(
                 "native haar shim not built — run `make -C native` "
                 "(needs the system OpenCV 4 C++ libs)")
+        self._custom = cascade_path is not None
         path = cascade_path or _find_cascade("haarcascade_frontalface_default.xml")
         if not path or not os.path.isfile(path):
             raise FileNotFoundError(f"Haar cascade not found: {path!r}")
@@ -143,10 +191,14 @@ class HaarDetector(FaceDetector):
         import threading
 
         self._paths = [path]
-        if profile and cascade_path is None:
+        if profile and not self._custom:
             pp = _find_cascade("haarcascade_profileface.xml")
             if pp:
                 self._paths.append(pp)
+        # staged mode needs the scored shim entry point; a stale pre-round-3
+        # .so falls back to the legacy unscored single-pass path
+        self._scored = (not self._custom
+                        and hasattr(self._lib, "gcv_haar_detect_scored"))
         # cv::CascadeClassifier::detectMultiScale is NOT thread-safe and the
         # engine fans extract_faces() out over a thread pool
         # (infer/engine.py predict_files), so cascades are per-thread; every
@@ -158,6 +210,9 @@ class HaarDetector(FaceDetector):
         self.scale_factor = scale_factor
         self.min_neighbors = min_neighbors
         self.max_faces = max_faces
+        self.front_thresh = front_thresh
+        self.prof_thresh = prof_thresh
+        self.calibrate = calibrate
         # detect on a 1/downscale frame: downscale=2 measured within noise
         # of full res on the real-frame fixture (mean IoU 0.453 vs 0.454)
         # at ~2x the speed; boxes are scaled back to frame coordinates
@@ -185,10 +240,9 @@ class HaarDetector(FaceDetector):
             except Exception:
                 pass
 
-    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+    def _gray_frames(self, frames: np.ndarray):
         import cv2
 
-        ct = self._ctypes
         n = len(frames)
         ds = self.downscale
         h, w = frames.shape[1] // ds, frames.shape[2] // ds
@@ -197,8 +251,84 @@ class HaarDetector(FaceDetector):
             g = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY)
             gray[i] = g if ds == 1 else cv2.resize(
                 g, (w, h), interpolation=cv2.INTER_AREA)
+        return gray
+
+    def _run_scored(self, handle, gray: np.ndarray):
+        """(rects [n,max,4] xywh, weights [n,max], counts [n]) on gray."""
+        ct = self._ctypes
+        n, h, w = gray.shape
         # min face ~= 5% of the short side: prunes the (quadratic) scan of
         # tiny windows on 1080p frames without excluding benchmark faces
+        min_size = max(24, int(0.05 * min(h, w)))
+        rects = np.zeros((n, self.max_faces, 4), np.int32)
+        weights = np.zeros((n, self.max_faces), np.float64)
+        counts = np.zeros(n, np.int32)
+        rc = self._lib.gcv_haar_detect_scored(
+            handle, gray.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            n, h, w, ct.c_double(self.scale_factor), self.min_neighbors,
+            min_size, rects.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            weights.ctypes.data_as(ct.POINTER(ct.c_double)),
+            counts.ctypes.data_as(ct.POINTER(ct.c_int32)), self.max_faces)
+        if rc != 0:
+            raise RuntimeError("gcv_haar_detect_scored failed")
+        return rects, weights, counts
+
+    def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        if not self._scored:
+            return self._detect_legacy(frames)
+        n = len(frames)
+        ds = self.downscale
+        H, W = frames.shape[1], frames.shape[2]
+        gray = self._gray_frames(frames)
+        handles = self._thread_handles()
+        cal_f = HAAR_CALIBRATION["front"] if self.calibrate else (0, 0, 1, 1)
+        cal_p = HAAR_CALIBRATION["profile"] if self.calibrate else (0, 0, 1, 1)
+
+        out: List[List[Box]] = [[] for _ in range(n)]
+        rects, weights, counts = self._run_scored(handles[0], gray)
+        for i in range(n):
+            for j in range(counts[i]):
+                if weights[i, j] < self.front_thresh:
+                    break  # descending-weight order
+                x, y, bw, bh = rects[i, j]
+                box = (int(y) * ds, int(x + bw) * ds,
+                       int(y + bh) * ds, int(x) * ds)
+                out[i].append(_apply_calib(box, False, cal_f, H, W))
+
+        pending = [i for i in range(n) if not out[i]]
+        if pending and len(handles) > 1:
+            sub = gray[pending]
+            best: Dict[int, Tuple[float, Box]] = {}
+            for mirrored, g in ((False, sub),
+                                (True, sub[:, :, ::-1].copy())):
+                rects, weights, counts = self._run_scored(handles[1], g)
+                for k, i in enumerate(pending):
+                    for j in range(counts[k]):
+                        wt = float(weights[k, j])
+                        if wt < self.prof_thresh:
+                            break
+                        x, y, bw, bh = rects[k, j]
+                        if mirrored:
+                            box = (int(y) * ds, (gray.shape[2] - int(x)) * ds,
+                                   int(y + bh) * ds,
+                                   (gray.shape[2] - int(x + bw)) * ds)
+                        else:
+                            box = (int(y) * ds, int(x + bw) * ds,
+                                   int(y + bh) * ds, int(x) * ds)
+                        if i not in best or wt > best[i][0]:
+                            best[i] = (wt, _apply_calib(
+                                box, mirrored, cal_p, H, W))
+            for i, (_, box) in best.items():
+                out[i].append(box)
+        return [b[: self.max_faces] for b in out]
+
+    def _detect_legacy(self, frames: np.ndarray) -> List[List[Box]]:
+        """Unscored single-pass path: custom cascade files, stale .so."""
+        ct = self._ctypes
+        n = len(frames)
+        ds = self.downscale
+        gray = self._gray_frames(frames)
+        h, w = gray.shape[1:]
         min_size = max(24, int(0.05 * min(h, w)))
         out: List[List[Box]] = [[] for _ in range(n)]
         rects = np.zeros((n, self.max_faces, 4), np.int32)
@@ -224,34 +354,60 @@ class HaarDetector(FaceDetector):
 
 
 class HybridFaceDetector(FaceDetector):
-    """Haar-first with jax fallback — the quality leader on the real-frame
-    fixture: mean IoU 0.543 / 73.1% of frames at IoU>=0.5, vs 0.513/64.7%
-    jax-only and 0.454/64.7% haar-only (tools/facedet_realframe_fixture.py).
-    The two backends fail differently: the real-face-trained frontal
-    cascade is the better localizer where it fires but finds nothing on
-    non-frontal footage (0.002-0.006 mean IoU on two of the eight sample
-    videos), where the synthetic-trained jax pyramid still detects. Frames
-    with no haar hit borrow the jax detection; the jax pass is one batched
-    TPU call for the whole clip, so the fallback adds no per-frame cost."""
+    """Staged cascades fused with the jax detector — the quality leader on
+    the curated real-frame fixture: mean IoU 0.622 / 80.7% of frames at
+    IoU>=0.5 (leave-one-video-out CV of the fitted thresholds/calibration:
+    0.593 / 79.0%), vs 0.513/64.7% jax-only and the round-3-early 0.543
+    haar-first/jax-fallback hybrid (tools/facedet_realframe_fixture.py eval).
+
+    The two backends fail differently: the real-face-trained cascades are
+    the better localizer where they fire with confidence, while the
+    synthetic-trained jax pyramid still detects on footage the cascades
+    miss. Per frame: confident cascade boxes win, each box refined by
+    averaging with an agreeing jax box (weight `fuse_weight`, overlap gate
+    `fuse_iou` — the two detectors' independent localization errors partly
+    cancel: fixture mean 0.579 fused vs 0.571 unfused, pre-calibration);
+    frames without any cascade hit use the jax detection outright. The jax
+    pass is one batched TPU call for the whole clip, so fusion adds no
+    per-frame device cost."""
 
     def __init__(self, checkpoint: Optional[str] = None,
-                 haar_downscale: int = 1, **kwargs):
+                 haar_downscale: int = 1, fuse_weight: float = 0.5,
+                 fuse_iou: float = 0.3, **kwargs):
         self.haar = HaarDetector(
             downscale=haar_downscale,
             **{k: v for k, v in kwargs.items()
                if k in ("profile", "scale_factor", "min_neighbors",
-                        "max_faces")})
+                        "max_faces", "front_thresh", "prof_thresh",
+                        "calibrate")})
         self.jax = JaxFaceDetector(
             checkpoint or default_facedet_checkpoint(),
             **{k: v for k, v in kwargs.items()
                if k in ("score_thresh", "max_faces", "fuse")})
+        self.fuse_weight = fuse_weight
+        self.fuse_iou = fuse_iou
 
     def detect(self, frames: np.ndarray) -> List[List[Box]]:
         haar_boxes = self.haar.detect(frames)
-        if all(haar_boxes):
-            return haar_boxes
         jax_boxes = self.jax.detect(frames)
-        return [h if h else j for h, j in zip(haar_boxes, jax_boxes)]
+        out: List[List[Box]] = []
+        for hb, jb in zip(haar_boxes, jax_boxes):
+            if not hb:
+                out.append(jb)
+                continue
+            if not jb or self.fuse_weight <= 0:
+                out.append(hb)
+                continue
+            fused = []
+            for box in hb:
+                match = max(jb, key=lambda j: _box_iou(box, j))
+                if _box_iou(box, match) >= self.fuse_iou:
+                    wj = self.fuse_weight
+                    box = tuple(int(round((box[i] + wj * match[i]) / (1 + wj)))
+                                for i in range(4))
+                fused.append(box)  # type: ignore[arg-type]
+            out.append(fused)
+        return out
 
 
 def _box_iou(a: Box, b: Box) -> float:
@@ -453,7 +609,8 @@ def make_detector(backend: str, **kwargs) -> FaceDetector:
                        os.environ.get("GENCONVIT_HAAR_CASCADE") or None),
             **{k: v for k, v in kwargs.items()
                if k in ("profile", "scale_factor", "min_neighbors",
-                        "max_faces", "downscale")})
+                        "max_faces", "downscale", "front_thresh",
+                        "prof_thresh", "calibrate")})
     if backend == "recorded":
         sidecar = kwargs.get("sidecar_path",
                              os.environ.get("GENCONVIT_FACE_SIDECAR"))
@@ -473,7 +630,8 @@ def make_detector(backend: str, **kwargs) -> FaceDetector:
             **{k: v for k, v in kwargs.items()
                if k in ("haar_downscale", "profile", "scale_factor",
                         "min_neighbors", "score_thresh", "max_faces",
-                        "fuse")})
+                        "fuse", "fuse_weight", "fuse_iou", "front_thresh",
+                        "prof_thresh", "calibrate")})
     raise ValueError(f"unknown face backend: {backend}")
 
 

@@ -101,6 +101,15 @@ def load_facedet_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+            if hasattr(lib, "gcv_haar_detect_scored"):
+                lib.gcv_haar_detect_scored.restype = ctypes.c_int
+                lib.gcv_haar_detect_scored.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
             _facedet_lib = lib
             return _facedet_lib
     _facedet_failed = True

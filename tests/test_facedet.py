@@ -300,10 +300,11 @@ def test_realframe_fixture_iou():
     assert mean_jax > 1.5 * mean_full, \
         f"jax {mean_jax:.3f} vs fullframe {mean_full:.3f}"
     if "hybrid" in ious:
-        # quality leader: haar-first localization with jax fallback
-        # (full-fixture table: hybrid 0.543 / jax 0.513 / haar 0.454)
+        # quality leader: staged scored cascades + calibration, fused with
+        # jax (full-fixture table: hybrid 0.622 / haar 0.543 / jax 0.513;
+        # the bar is below the LOO-CV 0.593 to absorb the 3-frame subsample)
         mean_hybrid = float(np.mean(ious["hybrid"]))
-        assert mean_hybrid >= 0.40, \
+        assert mean_hybrid >= 0.50, \
             f"hybrid real-frame mean IoU {mean_hybrid:.3f}"
-        assert mean_hybrid >= mean_jax - 0.05, \
-            f"hybrid {mean_hybrid:.3f} well below jax {mean_jax:.3f}"
+        assert mean_hybrid >= mean_jax, \
+            f"hybrid {mean_hybrid:.3f} below jax {mean_jax:.3f}"
