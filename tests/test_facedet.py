@@ -308,3 +308,191 @@ def test_realframe_fixture_iou():
             f"hybrid real-frame mean IoU {mean_hybrid:.3f}"
         assert mean_hybrid >= mean_jax, \
             f"hybrid {mean_hybrid:.3f} below jax {mean_jax:.3f}"
+
+
+def test_apply_calib_geometry():
+    """Calibration math: dx is in the facing direction (flips when the
+    detection came from the mirrored pass), sizes scale about the shifted
+    center, output clipped to the frame."""
+    from genconvit_tpu.data.faces import _apply_calib
+
+    box = (100, 300, 300, 100)  # (t, r, b, l), 200x200, center (200, 200)
+    # pure shift down by 0.1 * size
+    t, r, b, l = _apply_calib(box, False, (0.0, 0.1, 1.0, 1.0), 1000, 1000)
+    assert (t, r, b, l) == (120, 300, 320, 100)
+    # dx=+0.1 moves right unmirrored, left mirrored
+    assert _apply_calib(box, False, (0.1, 0.0, 1.0, 1.0), 1000, 1000) \
+        == (100, 320, 300, 120)
+    assert _apply_calib(box, True, (0.1, 0.0, 1.0, 1.0), 1000, 1000) \
+        == (100, 280, 300, 80)
+    # shrink width to 0.5 about the center
+    t, r, b, l = _apply_calib(box, False, (0.0, 0.0, 0.5, 1.0), 1000, 1000)
+    assert (r - l, b - t) == (100, 200) and (l + r) // 2 == 200
+    # clipping
+    t, r, b, l = _apply_calib((0, 300, 200, 100), False,
+                              (0.0, -0.5, 1.0, 1.5), 1000, 1000)
+    assert t == 0 and b <= 1000
+
+
+class _StubLib:
+    """Stands in for the native shim: scripted scored detections."""
+
+    def __init__(self, per_cascade):
+        # per_cascade: list (one per created handle) of
+        #   {frame_idx: [(x, y, w, h, weight), ...]}  (descending weight)
+        self._per_cascade = per_cascade
+        self._created = 0
+
+    def gcv_haar_create(self, path):
+        self._created += 1
+        return self._created  # 1-based handle == cascade index + 1
+
+    def gcv_haar_destroy(self, handle):
+        pass
+
+    def gcv_haar_detect_scored(self, handle, gray_p, n, h, w, sf, mn,
+                               ms, rects_p, weights_p, counts_p, max_per):
+        import ctypes
+
+        dets = self._per_cascade[handle - 1]
+        rects = np.ctypeslib.as_array(
+            ctypes.cast(rects_p, ctypes.POINTER(ctypes.c_int32)),
+            (n, max_per, 4))
+        weights = np.ctypeslib.as_array(
+            ctypes.cast(weights_p, ctypes.POINTER(ctypes.c_double)),
+            (n, max_per))
+        counts = np.ctypeslib.as_array(
+            ctypes.cast(counts_p, ctypes.POINTER(ctypes.c_int32)), (n,))
+        for i in range(n):
+            ds = dets.get(i, [])[:max_per]
+            counts[i] = len(ds)
+            for j, (x, y, bw, bh, wt) in enumerate(ds):
+                rects[i, j] = (x, y, bw, bh)
+                weights[i, j] = wt
+        return 0
+
+
+def _stub_haar(monkeypatch, per_cascade, **kwargs):
+    from genconvit_tpu.data import faces as faces_mod
+    from genconvit_tpu.data import native as native_mod
+
+    stub = _StubLib(per_cascade)
+    monkeypatch.setattr(native_mod, "_facedet_lib", stub)
+    monkeypatch.setattr(native_mod, "_facedet_failed", False)
+    det = faces_mod.HaarDetector(calibrate=False, **kwargs)
+    assert det._scored
+    return det
+
+
+def test_staged_front_thresh_vetoes_weak_detections(monkeypatch):
+    """A frontal detection below front_thresh is vetoed; the frame falls
+    through to the profile stage (here: empty), not to the weak box."""
+    frames = np.zeros((2, 100, 100, 3), np.uint8)
+    det = _stub_haar(monkeypatch, [
+        {0: [(10, 10, 30, 30, 8.0), (50, 50, 20, 20, 2.0)],
+         1: [(40, 40, 20, 20, 1.5)]},   # frame 1: only a weak frontal
+        {},                              # profile cascade: nothing
+    ])
+    out = det.detect(frames)
+    assert out[0] == [(10, 40, 40, 10)]  # weak 2.0 co-detection dropped too
+    assert out[1] == []
+
+
+def test_staged_profile_fallback_mirrored_coords(monkeypatch):
+    """Frames without a confident frontal hit use the best profile
+    detection; the mirrored pass's boxes come back in unmirrored frame
+    coordinates."""
+    frames = np.zeros((1, 100, 200, 3), np.uint8)
+    # profile cascade sees the plain frame (weight 1.0) and the mirrored
+    # frame (weight 3.0) -> the mirrored one wins
+    calls = []
+
+    class _Recorder(_StubLib):
+        def gcv_haar_detect_scored(self, handle, gray_p, n, h, w, *a):
+            calls.append((handle, n, h, w))
+            return super().gcv_haar_detect_scored(handle, gray_p, n, h, w, *a)
+
+    from genconvit_tpu.data import faces as faces_mod
+    from genconvit_tpu.data import native as native_mod
+
+    stub = _Recorder([
+        {},  # frontal finds nothing
+        {0: [(20, 30, 40, 40, 3.0)]},  # fires on BOTH profile passes
+    ])
+    monkeypatch.setattr(native_mod, "_facedet_lib", stub)
+    monkeypatch.setattr(native_mod, "_facedet_failed", False)
+    det = faces_mod.HaarDetector(calibrate=False)
+    out = det.detect(frames)
+    # 3 scored calls: frontal, profile plain, profile mirrored
+    assert [c[0] for c in calls] == [1, 2, 2]
+    # same raw rect from both passes, same weight -> plain pass kept
+    # (x=20, w=40): t=30, r=60, b=70, l=20
+    assert out[0] == [(30, 60, 70, 20)]
+
+
+def test_staged_profile_mirror_unflips(monkeypatch):
+    """A detection ONLY on the mirrored pass maps back to x' = W - x."""
+    frames = np.zeros((1, 100, 200, 3), np.uint8)
+
+    class _MirrorOnly(_StubLib):
+        def __init__(self):
+            super().__init__([{}, {}])
+            self.call = 0
+
+        def gcv_haar_detect_scored(self, handle, gray_p, n, h, w, sf, mn,
+                                   ms, rects_p, weights_p, counts_p,
+                                   max_per):
+            import ctypes
+
+            self.call += 1
+            counts = np.ctypeslib.as_array(
+                ctypes.cast(counts_p, ctypes.POINTER(ctypes.c_int32)), (n,))
+            if self.call == 3:  # mirrored profile pass only
+                rects = np.ctypeslib.as_array(
+                    ctypes.cast(rects_p, ctypes.POINTER(ctypes.c_int32)),
+                    (n, max_per, 4))
+                weights = np.ctypeslib.as_array(
+                    ctypes.cast(weights_p, ctypes.POINTER(ctypes.c_double)),
+                    (n, max_per))
+                counts[0] = 1
+                rects[0, 0] = (10, 20, 50, 40)  # x,y,w,h in mirrored coords
+                weights[0, 0] = 2.0
+            else:
+                counts[:] = 0
+            return 0
+
+    from genconvit_tpu.data import faces as faces_mod
+    from genconvit_tpu.data import native as native_mod
+
+    monkeypatch.setattr(native_mod, "_facedet_lib", _MirrorOnly())
+    monkeypatch.setattr(native_mod, "_facedet_failed", False)
+    det = faces_mod.HaarDetector(calibrate=False)
+    out = det.detect(frames)
+    # mirrored x:[10,60] -> frame x:[200-60, 200-10] = [140, 190]
+    assert out[0] == [(20, 190, 60, 140)]
+
+
+def test_hybrid_fusion_blends_agreeing_boxes(monkeypatch):
+    """Hybrid averages a cascade box with an overlapping jax box at
+    fuse_weight, keeps the cascade box when jax disagrees, and uses jax
+    outright when the cascades found nothing."""
+    from genconvit_tpu.data import faces as faces_mod
+
+    class _FakeHaar:
+        def detect(self, frames):
+            return [[(100, 200, 200, 100)], [], [(0, 50, 50, 0)]]
+
+    class _FakeJax:
+        def detect(self, frames):
+            return [[(110, 210, 210, 110)],  # agrees with haar frame 0
+                    [(40, 80, 80, 40)],      # fallback frame 1
+                    [(400, 460, 460, 400)]]  # disagrees frame 2
+
+    hy = faces_mod.HybridFaceDetector.__new__(faces_mod.HybridFaceDetector)
+    hy.haar, hy.jax = _FakeHaar(), _FakeJax()
+    hy.fuse_weight, hy.fuse_iou = 0.5, 0.3
+    out = hy.detect(np.zeros((3, 500, 500, 3), np.uint8))
+    # (100 + 0.5*110)/1.5 = 103.33 -> 103; (200 + 0.5*210)/1.5 = 203.33
+    assert out[0] == [(103, 203, 203, 103)]
+    assert out[1] == [(40, 80, 80, 40)]
+    assert out[2] == [(0, 50, 50, 0)]
