@@ -58,13 +58,15 @@ class Config:
     # Compute dtype for the jitted forward/backward path. 'bfloat16' on TPU,
     # 'float32' elsewhere. The reference's --fp16 flag maps to bfloat16.
     compute_dtype: str = "float32"
-    # Face-detection backend: 'jax' (on-device detector, committed
-    # checkpoint in genconvit_tpu/assets/) | 'hybrid' (haar-first + jax
-    # fallback, quality leader on real frames) | 'haar' (pretrained system
-    # cascade via the native shim) | 'skin' | 'fullframe' | 'recorded' |
-    # 'none'. The engine warns and falls back to 'fullframe' if the chosen
+    # Face-detection backend: 'hybrid' (staged scored cascades fused with
+    # the jax detector — quality leader on real frames and the closest
+    # stand-in for the reference's dlib-HOG crops) | 'jax' (on-device
+    # detector, committed checkpoint in genconvit_tpu/assets/) | 'haar'
+    # (pretrained system cascades via the native shim) | 'skin' |
+    # 'fullframe' | 'recorded' | 'none'. The engine walks a
+    # hybrid -> jax -> fullframe fallback ladder (with a warning) when a
     # backend's artifacts are missing.
-    face_backend: str = "jax"
+    face_backend: str = "hybrid"
     # Where weights live (ref hardcodes 'weight/' CWD-relative).
     weight_dir: str = "weight"
 

@@ -23,11 +23,11 @@ the PyTorch side); the other backends are self-contained:
              (/usr/share/opencv4/haarcascades). Staged scored pipeline:
              confidence-thresholded frontal -> mirrored-pair profile
              fallback -> dlib-geometry box calibration (HAAR_CALIBRATION)
-  jax        trained on-device batched detector (one TPU call per clip);
-             the engine default — see JaxFaceDetector
+  jax        trained on-device batched detector (one TPU call per clip) —
+             see JaxFaceDetector
   hybrid     staged cascades fused with jax + jax fallback; quality leader
-             on the real-frame fixture (mean IoU 0.622, LOO-CV 0.593) —
-             see HybridFaceDetector
+             on the real-frame fixture (mean IoU 0.622, LOO-CV 0.593) and
+             the engine default — see HybridFaceDetector
   recorded   boxes from a JSON sidecar {video_basename: [[t,r,b,l], ...] per frame}
 """
 

@@ -105,12 +105,30 @@ class Predictor:
         self.timers = StageTimers()
 
         backend = face_backend or self.config.face_backend
-        try:
-            self.detector: FaceDetector = make_detector(backend)
-        except (FileNotFoundError, KeyError, ValueError) as e:
-            log.warning("face backend %r unavailable (%s); falling back to "
-                        "'fullframe'", backend, e)
-            self.detector = make_detector("fullframe")
+        # For the trained-detector family, degrade through working backends
+        # rather than straight to the fullframe crop: 'hybrid' needs BOTH
+        # the native haar shim and the jax checkpoint, so a missing shim
+        # should still leave the jax detector (and 'jax' without a
+        # checkpoint should still try the cascades). Other explicit choices
+        # ('recorded', 'skin', ...) keep the direct fullframe fallback —
+        # silently substituting a different detector would change the crop
+        # geometry the caller asked for.
+        if backend in ("hybrid", "jax", "haar"):
+            ladder = [backend] + [b for b in ("jax", "haar", "fullframe")
+                                  if b != backend]
+        else:
+            ladder = [backend, "fullframe"]
+        for cand in ladder:
+            try:
+                self.detector: FaceDetector = make_detector(cand)
+            except (FileNotFoundError, KeyError, ValueError) as e:
+                log.warning("face backend %r unavailable (%s); trying next",
+                            cand, e)
+            else:
+                if cand != backend:
+                    log.warning("face backend %r -> fell back to %r",
+                                backend, cand)
+                break
 
         # ---- param prep: ALL host-side, then ONE device upload ----
         # (each phase logs its elapsed time so a cold-start hang is

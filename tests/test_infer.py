@@ -199,3 +199,43 @@ class TestResultSchema:
         # y=1 -> REAL, y=0 -> FAKE (quirk B2 mapping)
         assert r["video"]["pred_label"] == ["REAL", "FAKE"]
         assert json.dumps(r)  # JSON-serializable
+
+
+class TestFaceBackendLadder:
+    """Engine fallback: detector-family backends degrade hybrid -> jax ->
+    haar -> fullframe; explicit non-detector backends drop straight to
+    fullframe (substituting a different detector would silently change the
+    crop geometry the caller asked for)."""
+
+    def _predictor_with_failing(self, monkeypatch, backend, failing):
+        import genconvit_tpu.infer.engine as engine_mod
+        from genconvit_tpu.data.faces import make_detector as real_make
+
+        made = []
+
+        def fake_make(b, **kw):
+            if b in failing:
+                raise FileNotFoundError(f"{b} unavailable (test)")
+            made.append(b)
+            return real_make("fullframe")
+
+        monkeypatch.setattr(engine_mod, "make_detector", fake_make)
+        cfg = Config()
+        cfg.model_size = "_test_small"
+        Predictor(cfg, net="ed", face_backend=backend)
+        return made
+
+    def test_hybrid_falls_to_jax(self, monkeypatch):
+        made = self._predictor_with_failing(
+            monkeypatch, "hybrid", failing={"hybrid"})
+        assert made == ["jax"]
+
+    def test_jax_tries_haar_before_fullframe(self, monkeypatch):
+        made = self._predictor_with_failing(
+            monkeypatch, "jax", failing={"jax"})
+        assert made == ["haar"]
+
+    def test_recorded_drops_straight_to_fullframe(self, monkeypatch):
+        made = self._predictor_with_failing(
+            monkeypatch, "recorded", failing={"recorded"})
+        assert made == ["fullframe"]
