@@ -26,7 +26,7 @@ the PyTorch side); the other backends are self-contained:
   jax        trained on-device batched detector (one TPU call per clip) —
              see JaxFaceDetector
   hybrid     staged cascades fused with jax + jax fallback; quality leader
-             on the real-frame fixture (mean IoU 0.622, LOO-CV 0.593) and
+             on the real-frame fixture (mean IoU 0.636, LOO-CV 0.609) and
              the engine default — see HybridFaceDetector
   recorded   boxes from a JSON sidecar {video_basename: [[t,r,b,l], ...] per frame}
 """
@@ -116,8 +116,8 @@ SYSTEM_CASCADE_DIR = "/usr/share/opencv4/haarcascades"
 # (dx_facing, dy, w_ratio, h_ratio) over matched detections (IoU>=0.1) on
 # that fixture, profile L/R pooled in facing-normalized coords (the mirrored
 # pass shares parameters). Units: detection box size. Leave-one-video-out CV
-# on the fixture: mean IoU 0.593 vs 0.579 uncalibrated for the full hybrid
-# pipeline (tools/facedet_realframe_fixture.py eval).
+# on the fixture: mean IoU 0.609 vs uncalibrated 0.579 for the full hybrid
+# pipeline (tools/facedet_calibrate.py loocv).
 HAAR_CALIBRATION = {
     "front": (-0.041, 0.129, 0.889, 0.968),
     "profile": (-0.114, 0.136, 0.860, 0.926),
@@ -355,10 +355,11 @@ class HaarDetector(FaceDetector):
 
 class HybridFaceDetector(FaceDetector):
     """Staged cascades fused with the jax detector — the quality leader on
-    the curated real-frame fixture: mean IoU 0.622 / 80.7% of frames at
+    the curated real-frame fixture: mean IoU 0.636 / 83.2% of frames at
     IoU>=0.5 (leave-one-video-out CV of the fitted thresholds/calibration:
-    0.593 / 79.0%), vs 0.513/64.7% jax-only and the round-3-early 0.543
-    haar-first/jax-fallback hybrid (tools/facedet_realframe_fixture.py eval).
+    0.609 / 79.8%, tools/facedet_calibrate.py), vs 0.575/70.6% jax-only
+    (distilled checkpoint) and the round-3-early 0.543 haar-first/
+    jax-fallback hybrid (tools/facedet_realframe_fixture.py eval).
 
     The two backends fail differently: the real-face-trained cascades are
     the better localizer where they fire with confidence, while the
