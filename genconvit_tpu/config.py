@@ -63,9 +63,10 @@ class Config:
     # stand-in for the reference's dlib-HOG crops) | 'jax' (on-device
     # detector, committed checkpoint in genconvit_tpu/assets/) | 'haar'
     # (pretrained system cascades via the native shim) | 'skin' |
-    # 'fullframe' | 'recorded' | 'none'. The engine walks a
-    # hybrid -> jax -> fullframe fallback ladder (with a warning) when a
-    # backend's artifacts are missing.
+    # 'fullframe' | 'recorded' | 'none'. When a detector-family backend's
+    # artifacts are missing the engine walks a hybrid -> jax -> haar ->
+    # fullframe fallback ladder (with a warning); other explicit choices
+    # fall straight to fullframe.
     face_backend: str = "hybrid"
     # Where weights live (ref hardcodes 'weight/' CWD-relative).
     weight_dir: str = "weight"

@@ -89,9 +89,14 @@ def _intact_crop(rng: np.random.Generator, frames: List[np.ndarray]
     f = frames[rng.integers(0, len(frames))]
     h, w = f.shape[:2]
     side = int(min(h, w) * rng.uniform(0.3, 0.9))
-    # bias toward the frame edges: corners/sides rarely contain the face
-    u = rng.random()
-    left = int((0 if u < 0.5 else w - side) * rng.random()) if w > side else 0
+    # bias toward the frame edges: corners/sides rarely contain the face.
+    # squaring a uniform draw concentrates mass near 0; mirroring it to the
+    # right half of the range makes both edges preferred over the center
+    if w > side:
+        u = rng.random() ** 2 * (w - side)
+        left = int(u if rng.random() < 0.5 else (w - side) - u)
+    else:
+        left = 0
     top = int(rng.integers(0, max(h - side, 1)))
     crop = f[top: top + side, left: left + side]
     crop = cv2.resize(crop, (INPUT, INPUT), interpolation=cv2.INTER_AREA)

@@ -201,9 +201,14 @@ class HaarDetector(FaceDetector):
                         and hasattr(self._lib, "gcv_haar_detect_scored"))
         # cv::CascadeClassifier::detectMultiScale is NOT thread-safe and the
         # engine fans extract_faces() out over a thread pool
-        # (infer/engine.py predict_files), so cascades are per-thread; every
-        # created handle is registered for __del__ cleanup.
-        self._tls = threading.local()
+        # (infer/engine.py predict_files). Handle-sets are CHECKED OUT of a
+        # pool per detect() call (not per-thread): the engine builds a fresh
+        # executor per predict_files call, so thread-local handles would
+        # leak a parsed cascade per new worker thread in a serving loop —
+        # the pool bounds live handles to the max observed concurrency.
+        import queue
+
+        self._pool: "queue.SimpleQueue[List[int]]" = queue.SimpleQueue()
         self._all_handles: List[int] = []
         self._reg_lock = threading.Lock()
         self._ctypes = ctypes
@@ -219,18 +224,33 @@ class HaarDetector(FaceDetector):
         self.downscale = max(1, int(downscale))
         self._thread_handles()  # fail fast on a bad cascade file
 
+    def _checkout_handles(self) -> List[int]:
+        """Take a handle-set from the pool, creating one if all are in use;
+        return it with _release_handles (contextmanager-style via detect)."""
+        import queue
+
+        try:
+            return self._pool.get_nowait()
+        except queue.Empty:
+            pass
+        handles = []
+        for p in self._paths:
+            h = self._lib.gcv_haar_create(p.encode())
+            if not h:
+                raise ValueError(f"failed to load cascade {p!r}")
+            handles.append(h)
+        with self._reg_lock:
+            self._all_handles.extend(handles)
+        return handles
+
+    def _release_handles(self, handles: List[int]) -> None:
+        self._pool.put(handles)
+
     def _thread_handles(self) -> List[int]:
-        handles = getattr(self._tls, "handles", None)
-        if handles is None:
-            handles = []
-            for p in self._paths:
-                h = self._lib.gcv_haar_create(p.encode())
-                if not h:
-                    raise ValueError(f"failed to load cascade {p!r}")
-                handles.append(h)
-            self._tls.handles = handles
-            with self._reg_lock:
-                self._all_handles.extend(handles)
+        """Validation-only: create (and immediately pool) one handle-set so
+        a bad cascade file fails at construction, not first detect."""
+        handles = self._checkout_handles()
+        self._release_handles(handles)
         return handles
 
     def __del__(self):
@@ -276,11 +296,18 @@ class HaarDetector(FaceDetector):
     def detect(self, frames: np.ndarray) -> List[List[Box]]:
         if not self._scored:
             return self._detect_legacy(frames)
+        handles = self._checkout_handles()
+        try:
+            return self._detect_staged(frames, handles)
+        finally:
+            self._release_handles(handles)
+
+    def _detect_staged(self, frames: np.ndarray,
+                       handles: List[int]) -> List[List[Box]]:
         n = len(frames)
         ds = self.downscale
         H, W = frames.shape[1], frames.shape[2]
         gray = self._gray_frames(frames)
-        handles = self._thread_handles()
         cal_f = HAAR_CALIBRATION["front"] if self.calibrate else (0, 0, 1, 1)
         cal_p = HAAR_CALIBRATION["profile"] if self.calibrate else (0, 0, 1, 1)
 
@@ -324,6 +351,14 @@ class HaarDetector(FaceDetector):
 
     def _detect_legacy(self, frames: np.ndarray) -> List[List[Box]]:
         """Unscored single-pass path: custom cascade files, stale .so."""
+        handles = self._checkout_handles()
+        try:
+            return self._detect_legacy_with(frames, handles)
+        finally:
+            self._release_handles(handles)
+
+    def _detect_legacy_with(self, frames: np.ndarray,
+                            handles: List[int]) -> List[List[Box]]:
         ct = self._ctypes
         n = len(frames)
         ds = self.downscale
@@ -333,7 +368,7 @@ class HaarDetector(FaceDetector):
         out: List[List[Box]] = [[] for _ in range(n)]
         rects = np.zeros((n, self.max_faces, 4), np.int32)
         counts = np.zeros(n, np.int32)
-        for handle in self._thread_handles():
+        for handle in handles:
             rc = self._lib.gcv_haar_detect(
                 handle, gray.ctypes.data_as(ct.POINTER(ct.c_uint8)),
                 n, h, w, ct.c_double(self.scale_factor),
@@ -373,10 +408,10 @@ class HybridFaceDetector(FaceDetector):
     per-frame device cost."""
 
     def __init__(self, checkpoint: Optional[str] = None,
-                 haar_downscale: int = 1, fuse_weight: float = 0.5,
-                 fuse_iou: float = 0.3, **kwargs):
+                 haar_downscale: int = 1, downscale: Optional[int] = None,
+                 fuse_weight: float = 0.5, fuse_iou: float = 0.3, **kwargs):
         self.haar = HaarDetector(
-            downscale=haar_downscale,
+            downscale=downscale if downscale is not None else haar_downscale,
             **{k: v for k, v in kwargs.items()
                if k in ("profile", "scale_factor", "min_neighbors",
                         "max_faces", "front_thresh", "prof_thresh",
@@ -519,12 +554,26 @@ class JaxFaceDetector(FaceDetector):
                     wins.append((int(top), int(left), side))
         return wins
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Round a batch size up to the next 8*(1, 1.5)*2^k bucket so the
+        jitted detector compiles per BUCKET, not per exact frames x windows
+        product — the window count depends on frame resolution, and a
+        mixed-resolution dataset would otherwise recompile per resolution
+        (tens of seconds each on the relay-attached chip). Worst-case 50%
+        padding; padded rows are junk scored and sliced off on host."""
+        b = 8
+        while b < n:
+            b = b * 3 // 2 if (b & (b - 1)) == 0 else b * 4 // 3
+        return b
+
     def detect(self, frames: np.ndarray) -> List[List[Box]]:
         import cv2
 
         h, w = frames.shape[1:3]
         wins = self._windows(h, w)
-        crops = np.empty((len(frames) * len(wins), self._input, self._input, 3),
+        m = len(frames) * len(wins)
+        crops = np.zeros((self._bucket(m), self._input, self._input, 3),
                          np.uint8)
         i = 0
         for f in frames:
@@ -534,8 +583,8 @@ class JaxFaceDetector(FaceDetector):
                                       interpolation=cv2.INTER_AREA)
                 i += 1
         scores, boxes = self._fn(self.params, crops)
-        scores = np.asarray(scores).reshape(len(frames), len(wins), -1)
-        boxes = np.asarray(boxes).reshape(len(frames), len(wins), -1, 4)
+        scores = np.asarray(scores)[:m].reshape(len(frames), len(wins), -1)
+        boxes = np.asarray(boxes)[:m].reshape(len(frames), len(wins), -1, 4)
         merged: List[List[Tuple[float, Box]]] = []
         for fi in range(len(frames)):
             cands: List[Tuple[float, Box]] = []
@@ -629,10 +678,10 @@ def make_detector(backend: str, **kwargs) -> FaceDetector:
         return HybridFaceDetector(
             kwargs.get("checkpoint", default_facedet_checkpoint()),
             **{k: v for k, v in kwargs.items()
-               if k in ("haar_downscale", "profile", "scale_factor",
-                        "min_neighbors", "score_thresh", "max_faces",
-                        "fuse", "fuse_weight", "fuse_iou", "front_thresh",
-                        "prof_thresh", "calibrate")})
+               if k in ("haar_downscale", "downscale", "profile",
+                        "scale_factor", "min_neighbors", "score_thresh",
+                        "max_faces", "fuse", "fuse_weight", "fuse_iou",
+                        "front_thresh", "prof_thresh", "calibrate")})
     raise ValueError(f"unknown face backend: {backend}")
 
 

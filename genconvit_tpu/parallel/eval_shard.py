@@ -51,8 +51,12 @@ def _shard_map_forward(predictor: Predictor, mesh, num_frames: int):
     auto-sharding) stays usable — single-chip and sharded eval run the same
     fast path. Per-shard rngs are folded from the axis index (each shard's
     eval-time VAE sampling draw is independent, matching the per-video iid
-    semantics of the unsharded path). Cached per (mesh, frames)."""
-    key = ("shard_map", tuple(d.id for d in mesh.devices.flat), num_frames)
+    semantics of the unsharded path). Cached per (mesh, frames, kernel
+    plan) — the plan is in the key for the same reason _forward_fn keys its
+    cache on it (engine.py): a caller that mutates predictor.kernel_plan
+    between sharded calls must get a fresh trace, not the stale variant."""
+    key = ("shard_map", tuple(d.id for d in mesh.devices.flat), num_frames,
+           predictor.kernel_plan)
     cache = getattr(predictor, "_shard_map_cache", None)
     if cache is None:
         cache = predictor._shard_map_cache = {}
