@@ -147,8 +147,8 @@ def fit_calibration(frames_by_video, cache, videos):
 
 
 def hybrid_predict(frames_by_video, cache, name, calib, jax_boxes,
-                   front_thresh=3.0, prof_thresh=0.0, fuse_weight=0.5,
-                   fuse_iou=0.3):
+                   front_thresh=3.0, prof_thresh=0.0, fuse_weight=0.8,
+                   fuse_iou=0.4):
     """The HybridFaceDetector pipeline with explicit calibration constants
     (mirrors faces.HaarDetector.detect + HybridFaceDetector.detect)."""
     from genconvit_tpu.data.faces import _apply_calib, _box_iou
