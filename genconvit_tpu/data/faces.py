@@ -219,9 +219,12 @@ class HaarDetector(FaceDetector):
         self.front_thresh = front_thresh
         self.prof_thresh = prof_thresh
         self.calibrate = calibrate
-        # detect on a 1/downscale frame: downscale=2 measured within noise
-        # of full res on the real-frame fixture (mean IoU 0.453 vs 0.454)
-        # at ~2x the speed; boxes are scaled back to frame coordinates
+        # detect on a 1/downscale frame: downscale=2 measured quality-
+        # neutral on the real-frame fixture (staged hybrid 0.638/85.7% vs
+        # 0.640/84.9% full-res) at ~2x the cascade host cost; boxes are
+        # scaled back to frame coordinates. _effective_downscale floors the
+        # detection frame at 360px short side so small inputs never lose
+        # the min-face resolution the cascades need.
         self.downscale = max(1, int(downscale))
         self._thread_handles()  # fail fast on a bad cascade file
 
@@ -261,11 +264,16 @@ class HaarDetector(FaceDetector):
             except Exception:
                 pass
 
-    def _gray_frames(self, frames: np.ndarray):
+    def _effective_downscale(self, frames: np.ndarray) -> int:
+        ds = self.downscale
+        while ds > 1 and min(frames.shape[1], frames.shape[2]) // ds < 360:
+            ds -= 1
+        return ds
+
+    def _gray_frames(self, frames: np.ndarray, ds: int):
         import cv2
 
         n = len(frames)
-        ds = self.downscale
         h, w = frames.shape[1] // ds, frames.shape[2] // ds
         gray = np.empty((n, h, w), np.uint8)
         for i, f in enumerate(frames):
@@ -306,9 +314,9 @@ class HaarDetector(FaceDetector):
     def _detect_staged(self, frames: np.ndarray,
                        handles: List[int]) -> List[List[Box]]:
         n = len(frames)
-        ds = self.downscale
+        ds = self._effective_downscale(frames)
         H, W = frames.shape[1], frames.shape[2]
-        gray = self._gray_frames(frames)
+        gray = self._gray_frames(frames, ds)
         cal_f = HAAR_CALIBRATION["front"] if self.calibrate else (0, 0, 1, 1)
         cal_p = HAAR_CALIBRATION["profile"] if self.calibrate else (0, 0, 1, 1)
 
@@ -362,8 +370,8 @@ class HaarDetector(FaceDetector):
                             handles: List[int]) -> List[List[Box]]:
         ct = self._ctypes
         n = len(frames)
-        ds = self.downscale
-        gray = self._gray_frames(frames)
+        ds = self._effective_downscale(frames)
+        gray = self._gray_frames(frames, ds)
         h, w = gray.shape[1:]
         min_size = max(24, int(0.05 * min(h, w)))
         out: List[List[Box]] = [[] for _ in range(n)]
