@@ -26,7 +26,7 @@ the PyTorch side); the other backends are self-contained:
   jax        trained on-device batched detector (one TPU call per clip) —
              see JaxFaceDetector
   hybrid     staged cascades fused with jax + jax fallback; quality leader
-             on the real-frame fixture (mean IoU 0.640, LOO-CV 0.617) and
+             on the real-frame fixture (mean IoU 0.641, LOO-CV 0.618) and
              the engine default — see HybridFaceDetector
   recorded   boxes from a JSON sidecar {video_basename: [[t,r,b,l], ...] per frame}
 """
@@ -117,8 +117,8 @@ SYSTEM_CASCADE_DIR = "/usr/share/opencv4/haarcascades"
 # that fixture, profile L/R pooled in facing-normalized coords (the mirrored
 # pass shares parameters). Units: detection box size. Controlled A/B
 # (leave-one-video-out CV at fuse_weight=0.5/fuse_iou=0.3): mean IoU 0.609
-# calibrated vs 0.579 uncalibrated; at the shipped fusion defaults the
-# LOO-CV is 0.617 (tools/facedet_calibrate.py loocv).
+# calibrated vs 0.579 uncalibrated; at the shipped fusion defaults and
+# detector checkpoint the LOO-CV is 0.618 (tools/facedet_calibrate.py).
 HAAR_CALIBRATION = {
     "front": (-0.041, 0.129, 0.889, 0.968),
     "profile": (-0.114, 0.136, 0.860, 0.926),
@@ -399,12 +399,12 @@ class HaarDetector(FaceDetector):
 
 class HybridFaceDetector(FaceDetector):
     """Staged cascades fused with the jax detector — the quality leader on
-    the curated real-frame fixture: mean IoU 0.640 / 84.9% of frames at
+    the curated real-frame fixture: mean IoU 0.641 / 87.4% of frames at
     IoU>=0.5 (leave-one-video-out CV of the fitted thresholds/calibration:
-    0.617 / 83.2%, tools/facedet_calibrate.py — the fuse_weight/fuse_iou
+    0.618 / 85.7%, tools/facedet_calibrate.py — the fuse_weight/fuse_iou
     defaults were themselves selected by LOO-CV score, so that number
-    carries the one-hyperparameter-pick selection bias), vs 0.575/70.6%
-    jax-only (distilled checkpoint) and the round-3-early 0.543
+    carries the one-hyperparameter-pick selection bias), vs 0.599/79.0%
+    jax-only (two-round distilled checkpoint) and the round-3-early 0.543
     haar-first/jax-fallback hybrid (tools/facedet_realframe_fixture.py
     eval).
 
