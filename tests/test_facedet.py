@@ -496,3 +496,63 @@ def test_hybrid_fusion_blends_agreeing_boxes(monkeypatch):
     assert out[0] == [(103, 203, 203, 103)]
     assert out[1] == [(40, 80, 80, 40)]
     assert out[2] == [(0, 50, 50, 0)]
+
+
+def test_distill_window_crops_geometry():
+    """tools/facedet_distill.window_crops: every emitted sample is a valid
+    INPUT_SIZE crop whose normalized box (cy,cx,h,w) round-trips to the
+    teacher box within the crop, and negatives carry no boxes."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.facedet_distill import window_crops
+
+    from genconvit_tpu.models.facedet import INPUT_SIZE
+
+    gen = np.random.default_rng(7)
+    frame = (gen.random((720, 1280, 3)) * 255).astype(np.uint8)
+    teacher_box = (200, 700, 460, 480)  # (t, r, b, l): 260x220 face
+    harvested = [("vid.mp4", frame, teacher_box)] * 8
+    samples = window_crops(harvested, np.random.default_rng(0), per_det=3)
+    assert len(samples) >= 8
+    pos = neg = 0
+    for img, boxes in samples:
+        assert img.shape == (INPUT_SIZE, INPUT_SIZE, 3)
+        assert img.dtype == np.uint8
+        if not boxes:
+            neg += 1
+            continue
+        pos += 1
+        (cy, cx, bh, bw) = boxes[0]
+        # in-domain face fraction (0.30-0.80 of the window), inside [0,1]
+        assert 0.0 <= cy <= 1.0 and 0.0 <= cx <= 1.0
+        assert 0.1 <= bh <= 1.0 and 0.1 <= bw <= 1.0
+    assert pos >= 8 and neg >= 1
+
+
+def test_intact_crop_edge_bias():
+    """facedet_synth._intact_crop: crop left positions prefer both frame
+    edges over the center (regression for the 50%-pinned-to-zero bug)."""
+    from genconvit_tpu.data.facedet_synth import _intact_crop
+
+    gen = np.random.default_rng(11)
+    # uniform gray frame with NO skin tones so the veto never fires
+    frame = np.full((360, 1280, 3), 64, np.uint8)
+    lefts = []
+    for _ in range(300):
+        # reconstruct left from the crop by matching is impossible on a
+        # uniform frame; instead call the underlying math via a stub frame
+        # with a column gradient so the crop's first column encodes left
+        grad = np.tile(np.arange(1280, dtype=np.uint16) % 256,
+                       (360, 1)).astype(np.uint8)
+        f = np.stack([grad, grad, grad], -1)
+        crop = _intact_crop(gen, [f])
+        if crop is None:
+            continue
+        lefts.append(int(crop[0, 0, 0]))
+    assert len(lefts) > 100
+    lefts = np.array(lefts)
+    # bias check: substantially more mass in the outer thirds than center
+    third = 256 // 3
+    outer = ((lefts < third) | (lefts > 2 * third)).mean()
+    assert outer > 0.5, f"edge mass only {outer:.2f}"
