@@ -91,6 +91,24 @@ def main():
     signal.signal(signal.SIGINT, _on_signal)
     atexit.register(emit)
 
+    # Guaranteed-parse floor: print a complete placeholder line BEFORE any
+    # jax/TPU work. If the relay is unreachable, jax.devices() hangs until
+    # the scheduler kills the process — SIGKILL skips atexit and the SIGTERM
+    # handler has nothing measured to flush, so without this line the round
+    # artifact would be unparseable (round-2 failure mode). Every measured
+    # phase supersedes it; the LAST line wins per the documented contract.
+    _state["out"] = {
+        "metric": "videos_per_sec_per_chip_dfdc15_ensemble",
+        "value": 0.0,
+        "unit": "videos/s",
+        "vs_baseline": 0.0,
+        "baseline": "analytic",
+        "error": "startup placeholder: no measured trial completed yet "
+                 "(TPU relay unreachable or killed before first trial); "
+                 "superseded by a measured line once any trial finishes",
+    }
+    emit()
+
     import jax
     import jax.numpy as jnp
 
@@ -143,6 +161,7 @@ def main():
             "unit": "videos/s",
             "vs_baseline": round(best / A100_FP16_BASELINE_VIDEOS_PER_SEC, 3),
             "baseline": "analytic",
+            "platform": backend,
             "method": "device-resident batches (chip compute path; baseline "
                       "denominator is an analytic A100-fp16 model-forward "
                       "estimate, like-for-like)",
