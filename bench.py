@@ -109,6 +109,16 @@ def main():
     }
     emit()
 
+    # make the engine's per-phase init logs (logging.INFO on the
+    # "genconvit_tpu" logger) visible on stderr: a cold-start stall must be
+    # diagnosable from the log tail alone (they were invisible at the default
+    # WARNING level — exactly how a 30-minute silent init went unexplained)
+    import logging
+
+    logging.basicConfig(stream=sys.stderr,
+                        format="%(asctime)s %(name)s: %(message)s")
+    logging.getLogger("genconvit_tpu").setLevel(logging.INFO)
+
     import jax
     import jax.numpy as jnp
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import contextlib
 import logging
+import math
 import os
 import time
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
@@ -79,6 +80,10 @@ class Predictor:
         seed: int = 0,
         params_device: str = "device",  # 'device' | 'defer' (upload lazily)
         kernel_plan: Optional[Any] = None,  # ops.kernel_plan.KernelPlan
+        init_heads_on_device: Any = "auto",  # random init: generate the 630M-
+        # param VAE latent heads with one jitted graph on the accelerator
+        # instead of materializing+uploading ~2.5GB through the host (minutes
+        # on a degraded host/link). 'auto' = TPU backend, no int8, no defer.
     ):
         self._params: Optional[Dict[str, Any]] = None
         self._params_host: Optional[Dict[str, Any]] = None
@@ -133,6 +138,16 @@ class Predictor:
         # ---- param prep: ALL host-side, then ONE device upload ----
         # (each phase logs its elapsed time so a cold-start hang is
         # diagnosable from the log tail alone)
+        if init_heads_on_device == "auto":
+            init_heads_on_device = (
+                jax.default_backend() == "tpu"
+                and params_device == "device"
+                and os.environ.get("GENCONVIT_INT8_HEADS") != "1"
+                and getattr(self.config.model, "vae_variant", "original")
+                == "original")
+        self._want_device_heads = bool(init_heads_on_device) and net in (
+            "vae", "genconvit")
+        self._device_latent_heads = False  # set by _load_or_init (random init)
         t0 = time.perf_counter()
         with _host_staging_context():
             if params is None:
@@ -178,6 +193,18 @@ class Predictor:
                 params["vae"] = quantize_latent_heads_int8(params["vae"])
                 log.info("init: int8 head quantization %.1fs",
                          time.perf_counter() - t)
+        if self._device_latent_heads:
+            # random-init only: the ~630M-param mu/var heads were skipped on
+            # host; generate them directly on the accelerator in their final
+            # layout + dtype (one tiny jitted graph, no host materialization,
+            # no multi-GB upload)
+            t = time.perf_counter()
+            params = dict(params)
+            params["vae"] = dict(params["vae"])
+            enc = params["vae"]["encoder"] = dict(params["vae"]["encoder"])
+            enc.update(self._init_latent_heads_on_device())
+            log.info("init: latent heads generated on device in %.1fs",
+                     time.perf_counter() - t)
         if params_device == "defer":
             # directory-walking CLIs don't pay the upload until first launch
             self._params = None
@@ -230,9 +257,53 @@ class Predictor:
                 log.warning(
                     "no %s weights found (looked for %r in %r) — using RANDOM "
                     "init; predictions will be meaningless", branch, spec, wd)
-                sub = init_genconvit(jax.random.PRNGKey(0), self.config, branch)
+                skip = branch == "vae" and self._want_device_heads
+                sub = init_genconvit(jax.random.PRNGKey(0), self.config,
+                                     branch, skip_vae_latent_heads=skip)
                 params[branch] = sub[branch]
+                if skip and "mu" not in sub["vae"]["encoder"]:
+                    self._device_latent_heads = True
         return params
+
+    def _init_latent_heads_on_device(self) -> Dict[str, Any]:
+        """Random-init latent heads generated on the accelerator.
+
+        Shapes/init bound mirror models/vae.init_vae (torch Linear default,
+        ref model/genconvit_vae.py:36-37). When the engine's HWC fold is
+        active (GENCONVIT_VAE_HWC=1) the heads are emitted directly under
+        the folded names: folding is a fixed permutation of rows/columns,
+        and a permutation of iid draws is the same distribution, so for
+        random weights "generate in folded layout" == "generate then fold".
+        Values differ from the host path (threefry stream keyed separately)
+        — random weights carry no parity contract."""
+        cfg = self.config
+        feat_hw = cfg.img_size // 16
+        flat = 128 * feat_hw * feat_hw
+        latent = (cfg.model.latent_dims if cfg.img_size == 224
+                  else cfg.derived_latent_dims())
+        hwc = os.environ.get("GENCONVIT_VAE_HWC", "1") == "1"
+        bound = 1.0 / math.sqrt(flat)
+        dt = self.dtype
+
+        def gen(key):
+            ks = jax.random.split(key, 4)
+
+            def u(k, shape):
+                return jax.random.uniform(
+                    k, shape, jnp.float32, -bound, bound).astype(dt)
+
+            names = ("mu_hwc", "var_hwc") if hwc else ("mu", "var")
+            return {
+                names[0]: {"kernel": u(ks[0], (flat, latent)),
+                           "bias": u(ks[1], (latent,))},
+                names[1]: {"kernel": u(ks[2], (flat, latent)),
+                           "bias": u(ks[3], (latent,))},
+            }
+
+        with jax.default_device(jax.devices()[0]):
+            heads = jax.jit(gen)(jax.random.PRNGKey(17))
+        jax.block_until_ready(heads)
+        return heads
 
     # ------------------------------------------------------------- forward
 

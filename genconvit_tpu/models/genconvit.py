@@ -25,8 +25,13 @@ from genconvit_tpu.models.vae import init_vae, init_vae_updated, vae_apply
 VALID_NETS = ("ed", "vae", "genconvit")
 
 
-def init_genconvit(key: jax.Array, config: Config, net: str = "genconvit") -> Dict:
-    """Param tree with 'ed' and/or 'vae' branches per `net`."""
+def init_genconvit(key: jax.Array, config: Config, net: str = "genconvit",
+                   skip_vae_latent_heads: bool = False) -> Dict:
+    """Param tree with 'ed' and/or 'vae' branches per `net`.
+
+    skip_vae_latent_heads (original VAE variant only) omits the two
+    ~315M-param latent heads so the caller can generate them directly on
+    the accelerator (infer/engine.py random-init path)."""
     k_ed, k_vae = jax.random.split(key)
     params: Dict[str, Any] = {}
     backbone = config.model.backbone
@@ -35,9 +40,11 @@ def init_genconvit(key: jax.Array, config: Config, net: str = "genconvit") -> Di
                                carry_dead_params=config.model.carry_dead_params,
                                embedder=config.model.embedder)
     if net in ("vae", "genconvit"):
-        init_fn = (init_vae_updated
-                   if getattr(config.model, "vae_variant", "original") == "updated"
-                   else init_vae)
+        updated = getattr(config.model, "vae_variant", "original") == "updated"
+        init_fn = init_vae_updated if updated else init_vae
+        kwargs: Dict[str, Any] = {}
+        if not updated:
+            kwargs["skip_latent_heads"] = skip_vae_latent_heads
         params["vae"] = init_fn(
             k_vae, backbone, config.img_size,
             latent_dims=(config.model.latent_dims
@@ -45,6 +52,7 @@ def init_genconvit(key: jax.Array, config: Config, net: str = "genconvit") -> Di
             num_classes=config.num_classes,
             carry_dead_params=config.model.carry_dead_params,
             embedder=config.model.embedder,
+            **kwargs,
         )
     return params
 

@@ -47,7 +47,11 @@ def init_vae(key: jax.Array, backbone: str = "convnext_tiny", img_size: int = 22
              latent_dims: Optional[int] = None, num_classes: int = 2,
              backbone_classes: int = 1000, carry_dead_params: bool = False,
              embedder: str = "swin_tiny_patch4_window7_224",
-             head_act: str = "default") -> Dict:
+             head_act: str = "default", skip_latent_heads: bool = False) -> Dict:
+    """skip_latent_heads omits the two ~315M-param mu/var Linears (the caller
+    generates them elsewhere, e.g. directly on the accelerator — see
+    infer/engine.py random-init path); the key stream is advanced identically
+    so every other leaf matches the skip_latent_heads=False tree."""
     feat_hw = img_size // 16          # 14 for 224
     flat = 128 * feat_hw * feat_hw    # 25088 for 224
     if latent_dims is None:
@@ -57,9 +61,11 @@ def init_vae(key: jax.Array, backbone: str = "convnext_tiny", img_size: int = 22
     enc: Dict[str, Any] = {
         "convs": [conv_init(next(ki), 3, 3, _ENC_CH[i], _ENC_CH[i + 1]) for i in range(4)],
         "bns": [batch_norm_init(_ENC_CH[i + 1]) for i in range(4)],
-        "mu": linear_init(next(ki), flat, latent_dims),
-        "var": linear_init(next(ki), flat, latent_dims),
     }
+    k_mu, k_var = next(ki), next(ki)
+    if not skip_latent_heads:
+        enc["mu"] = linear_init(k_mu, flat, latent_dims)
+        enc["var"] = linear_init(k_var, flat, latent_dims)
     if carry_dead_params:
         enc["fc1"] = linear_init(next(ki), flat, 256)  # dead (B9)
         enc["fc2"] = linear_init(next(ki), 256, 128)   # dead (B9)

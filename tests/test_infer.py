@@ -122,6 +122,49 @@ def small_predictor():
 
 
 class TestEngine:
+    @pytest.mark.parametrize("hwc", ["1", "0"])
+    def test_device_head_init(self, monkeypatch, hwc):
+        """init_heads_on_device=True: random init generates the VAE latent
+        heads with one jitted graph directly in final layout/dtype (the
+        bench cold-start path — host materialization of the 630M-param
+        heads + the HWC fold cost minutes on degraded hosts)."""
+        monkeypatch.setenv("GENCONVIT_VAE_HWC", hwc)
+        cfg = Config()
+        cfg.img_size = 64
+        cfg.model.latent_dims = cfg.derived_latent_dims()
+        cfg.weight_dir = "/nonexistent"
+        p = Predictor(cfg, net="genconvit", face_backend="fullframe", seed=0,
+                      init_heads_on_device=True)
+        enc = p.params["vae"]["encoder"]
+        want = ("mu_hwc", "var_hwc") if hwc == "1" else ("mu", "var")
+        assert all(k in enc for k in want)
+        flat = 128 * (64 // 16) ** 2
+        assert enc[want[0]]["kernel"].shape == (flat, cfg.model.latent_dims)
+        # torch Linear default bound = 1/sqrt(fan_in) (ops/init.py)
+        assert float(jnp.abs(enc[want[0]]["kernel"]).max()) <= flat ** -0.5
+        faces = np.random.default_rng(0).integers(
+            0, 255, (5, 64, 64, 3), dtype=np.uint8)
+        label, pred = p.predict_faces(faces, num_frames=5)
+        assert label in (0, 1) and np.isfinite(pred)
+
+    def test_skip_latent_heads_keeps_other_leaves(self):
+        """skip_latent_heads must only omit mu/var — every other leaf equals
+        the full init (the key stream is advanced identically)."""
+        from genconvit_tpu.models.vae import init_vae
+        import jax
+
+        full = init_vae(jax.random.PRNGKey(3), img_size=64, latent_dims=1024)
+        skipped = init_vae(jax.random.PRNGKey(3), img_size=64,
+                           latent_dims=1024, skip_latent_heads=True)
+        assert "mu" not in skipped["encoder"] and "var" not in skipped["encoder"]
+        full["encoder"].pop("mu"), full["encoder"].pop("var")
+        leaves_a = jax.tree_util.tree_leaves_with_path(full)
+        leaves_b = jax.tree_util.tree_leaves_with_path(skipped)
+        assert len(leaves_a) == len(leaves_b)
+        for (pa, a), (pb, b) in zip(leaves_a, leaves_b):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_int8_heads_env_applies_at_load(self, monkeypatch):
         """GENCONVIT_INT8_HEADS=1 must quantize the (hwc-folded) VAE latent
         heads at Predictor construction and still score videos."""
