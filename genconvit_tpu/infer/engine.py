@@ -155,6 +155,19 @@ class Predictor:
                 log.info("init: weights loaded/initialized on host in %.1fs",
                          time.perf_counter() - t0)
             params = live_params(params)
+            if self.dtype == jnp.bfloat16:
+                # Pre-cast once: the VAE latent heads alone are ~630M params —
+                # casting fp32->bf16 inside every jitted call costs ~4GB of HBM
+                # traffic per batch. Norm statistics are computed in fp32 inside
+                # the ops regardless of storage dtype. Cast BEFORE the HWC fold
+                # below: the fold is a pure permutation (dtype-agnostic), and
+                # running it on bf16 halves the bytes it gathers — the fold was
+                # the dominant cold-start phase on hosts with slow page faults.
+                from genconvit_tpu.core.pytree import cast_floats
+
+                t = time.perf_counter()
+                params = cast_floats(params, jnp.bfloat16)
+                log.info("init: bf16 cast %.1fs", time.perf_counter() - t)
             if ("vae" in params and "encoder" in params["vae"]
                     and "mu" in params["vae"]["encoder"]
                     and os.environ.get("GENCONVIT_VAE_HWC", "1") == "1"):
@@ -168,16 +181,6 @@ class Predictor:
                 params = dict(params)
                 params["vae"] = permute_latent_heads_hwc(params["vae"])
                 log.info("init: latent-head HWC fold %.1fs", time.perf_counter() - t)
-            if self.dtype == jnp.bfloat16:
-                # Pre-cast once: the VAE latent heads alone are ~630M params —
-                # casting fp32->bf16 inside every jitted call costs ~4GB of HBM
-                # traffic per batch. Norm statistics are computed in fp32 inside
-                # the ops regardless of storage dtype.
-                from genconvit_tpu.core.pytree import cast_floats
-
-                t = time.perf_counter()
-                params = cast_floats(params, jnp.bfloat16)
-                log.info("init: bf16 cast %.1fs", time.perf_counter() - t)
             if "vae" in params and os.environ.get("GENCONVIT_INT8_HEADS") == "1":
                 # opt-in weight-only int8 for the 630M-param latent heads
                 # (models/vae.quantize_latent_heads_int8 — halves their

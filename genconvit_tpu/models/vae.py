@@ -116,12 +116,22 @@ def permute_latent_heads_hwc(vae_params: Dict) -> Dict:
     flat_n, latent = np.shape(enc["mu"]["kernel"])
     fh = int(round((flat_n / 128) ** 0.5))
     s = int(round((latent / 256) ** 0.5))
+    # One fancy-index gather per array instead of two reshape-transpose
+    # copies: the heads are 630MB each in bf16 (1.26GB f32). Warm-page the
+    # two-copy form is ~0.6s faster, but it allocates TWO full-size
+    # temporaries per kernel, and on hosts with slow first-touch page
+    # faults those allocations dominated engine cold start (measured 730s
+    # for this function on a degraded sandbox host; at full head scale
+    # unwarmed, gather 9s vs two-copy 65s). The engine also bf16-casts
+    # BEFORE calling this, halving every byte moved here.
+    # row_perm/col_perm are the exact index maps of the original
+    # reshape(128,fh,fh,L).transpose(1,2,0,3) row shuffle and
+    # reshape(N,256,s,s).transpose(0,2,3,1) column shuffle.
+    row_perm = np.arange(flat_n).reshape(128, fh, fh).transpose(1, 2, 0).ravel()
+    col_perm = np.arange(latent).reshape(256, s, s).transpose(1, 2, 0).ravel()
     for name in ("mu", "var"):
-        w = np.asarray(enc[name]["kernel"])
-        b = np.asarray(enc[name]["bias"])
-        w = w.reshape(128, fh, fh, latent).transpose(1, 2, 0, 3).reshape(flat_n, latent)
-        w = w.reshape(flat_n, 256, s, s).transpose(0, 2, 3, 1).reshape(flat_n, latent)
-        b = b.reshape(256, s, s).transpose(1, 2, 0).reshape(latent)
+        w = np.asarray(enc[name]["kernel"])[np.ix_(row_perm, col_perm)]
+        b = np.asarray(enc[name]["bias"])[col_perm]
         enc[name + "_hwc"] = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
         del enc[name]
     out = dict(vae_params)
@@ -130,8 +140,7 @@ def permute_latent_heads_hwc(vae_params: Dict) -> Dict:
         # updated-VAE variant: its decoder_input Linear consumes z directly,
         # so its rows get the same CHW -> HWC latent re-index
         dec = dict(out["decoder"])
-        wi = np.asarray(dec["input"]["kernel"])
-        wi = wi.reshape(256, s, s, -1).transpose(1, 2, 0, 3).reshape(latent, -1)
+        wi = np.asarray(dec["input"]["kernel"])[col_perm]
         dec["input"] = {"kernel": jnp.asarray(wi), "bias": dec["input"]["bias"]}
         out["decoder"] = dec
     return out

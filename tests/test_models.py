@@ -242,6 +242,27 @@ class TestGenConViTEnsemble:
         np.testing.assert_allclose(np.asarray(ref_aux["vae_kl"]),
                                    np.asarray(got_aux["vae_kl"]), rtol=1e-5)
 
+    def test_hwc_fold_commutes_with_bf16_cast(self, small_cfg):
+        """The engine casts to bf16 BEFORE the HWC fold (half the gather
+        bytes); a fold is a pure permutation so fold(cast(p)) must be
+        bitwise-equal to cast(fold(p)), dtypes preserved — incl. the
+        updated-variant decoder-input row re-index."""
+        from genconvit_tpu.core.pytree import cast_floats
+        from genconvit_tpu.models.vae import (init_vae, init_vae_updated,
+                                              permute_latent_heads_hwc)
+
+        for init in (init_vae, init_vae_updated):
+            params = init(jax.random.PRNGKey(1), img_size=64)
+            a = permute_latent_heads_hwc(cast_floats(params, jnp.bfloat16))
+            b = cast_floats(permute_latent_heads_hwc(params), jnp.bfloat16)
+            la = jax.tree_util.tree_leaves_with_path(a)
+            lb = jax.tree_util.tree_leaves_with_path(b)
+            assert len(la) == len(lb)
+            for (pa, xa), (pb, xb) in zip(la, lb):
+                assert pa == pb
+                assert xa.dtype == xb.dtype == jnp.bfloat16
+                np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
 
 def test_swiglu_head_option(small_cfg):
     from genconvit_tpu.models.ed import ed_apply, init_ed
