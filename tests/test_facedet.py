@@ -273,8 +273,12 @@ def test_realframe_fixture_iou():
     ious = {b: [] for b in backends}
     ious_full = []
     for name, items in by_video.items():
-        cap = cv2.VideoCapture(
-            os.path.join("/root/reference/sample_prediction_data", name))
+        # bare names live in sample_prediction_data; '/'-prefixed keys are
+        # relative to the reference root (tools/facedet_realframe_fixture.py
+        # resolve_video)
+        vp = (os.path.join("/root/reference", name) if "/" in name else
+              os.path.join("/root/reference/sample_prediction_data", name))
+        cap = cv2.VideoCapture(vp)
         frames, gts = [], []
         for fi, box in sorted(items)[::5][:3]:
             cap.set(cv2.CAP_PROP_POS_FRAMES, fi)
@@ -301,8 +305,9 @@ def test_realframe_fixture_iou():
         f"jax {mean_jax:.3f} vs fullframe {mean_full:.3f}"
     if "hybrid" in ious:
         # quality leader: staged scored cascades + calibration, fused with
-        # jax (full-fixture table: hybrid 0.622 / haar 0.543 / jax 0.513;
-        # the bar is below the LOO-CV 0.593 to absorb the 3-frame subsample)
+        # jax (extended 148-frame fixture: hybrid 0.664 / jax 0.614 / haar
+        # 0.573; holdout kaggle videos 0.796/0.711; the bar sits well below
+        # to absorb the 3-frame subsample)
         mean_hybrid = float(np.mean(ious["hybrid"]))
         assert mean_hybrid >= 0.50, \
             f"hybrid real-frame mean IoU {mean_hybrid:.3f}"

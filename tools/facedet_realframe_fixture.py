@@ -43,6 +43,16 @@ FIXTURE = os.path.join(os.path.dirname(os.path.dirname(
     "facedet_realframes.json")
 
 
+def resolve_video(name: str) -> str:
+    """Fixture keys are '<video>#<frame>'. A bare video name lives in
+    SAMPLE_DIR (the original 8 sample_prediction_data videos); a name with a
+    '/' is relative to the reference mount root (e.g.
+    'sample_videos_kaggle/01__exit_phone_room.mp4')."""
+    if "/" in name:
+        return os.path.join(os.path.dirname(SAMPLE_DIR.rstrip("/")), name)
+    return os.path.join(SAMPLE_DIR, name)
+
+
 def iou(a, b):
     """(t, r, b, l) boxes."""
     t = max(a[0], b[0]); btm = min(a[2], b[2])
@@ -77,7 +87,7 @@ def decode_frames(path, n):
     return frames, kept
 
 
-def propose(out_dir, per_video):
+def propose(out_dir, per_video, videos=None):
     import cv2
 
     from genconvit_tpu.data.faces import make_detector
@@ -85,26 +95,40 @@ def propose(out_dir, per_video):
     os.makedirs(out_dir, exist_ok=True)
     jaxdet = make_detector("jax")
     skindet = make_detector("skin")
+    try:
+        hybdet = make_detector("hybrid")
+    except Exception:
+        hybdet = None  # cascade shim unbuilt: jax+skin overlays only
     candidates = {}
-    for vp in sample_videos():
-        name = os.path.basename(vp)
+    ref_root = os.path.dirname(SAMPLE_DIR.rstrip("/"))
+    for vp in (videos or sample_videos()):
+        # key: bare basename for SAMPLE_DIR videos, reference-root-relative
+        # path otherwise (see resolve_video)
+        if os.path.dirname(os.path.abspath(vp)) == SAMPLE_DIR.rstrip("/"):
+            name = os.path.basename(vp)
+        else:
+            name = os.path.relpath(os.path.abspath(vp), ref_root)
         frames, idxs = decode_frames(vp, per_video)
         if not frames:
             continue
         arr = np.stack(frames)
         jb = jaxdet.detect(arr)
         sb = skindet.detect(arr)
+        hb = hybdet.detect(arr) if hybdet is not None else [[]] * len(frames)
         tiles = []
         for k, (fr, fi) in enumerate(zip(frames, idxs)):
             key = f"{name}#{fi}"
             candidates[key] = {"jax": [list(map(int, b)) for b in jb[k]],
                                "skin": [list(map(int, b)) for b in sb[k]],
+                               "hybrid": [list(map(int, b)) for b in hb[k]],
                                "h": int(fr.shape[0]), "w": int(fr.shape[1])}
             vis = fr.copy()
             for (t, r, b, l) in jb[k]:
                 cv2.rectangle(vis, (l, t), (r, b), (0, 255, 0), 3)
             for (t, r, b, l) in sb[k]:
                 cv2.rectangle(vis, (l, t), (r, b), (0, 0, 255), 3)
+            for (t, r, b, l) in hb[k]:  # hybrid = quality leader, drawn RED
+                cv2.rectangle(vis, (l, t), (r, b), (255, 0, 0), 3)
             cv2.putText(vis, f"#{fi}", (8, 36), cv2.FONT_HERSHEY_SIMPLEX,
                         1.2, (255, 255, 0), 3)
             tiles.append(cv2.resize(vis, (320, 320)))
@@ -114,7 +138,7 @@ def propose(out_dir, per_video):
             row += [np.zeros_like(tiles[0])] * (5 - len(row))
             rows.append(np.concatenate(row, axis=1))
         grid = np.concatenate(rows, axis=0)
-        cv2.imwrite(os.path.join(out_dir, f"{name}.png"),
+        cv2.imwrite(os.path.join(out_dir, f"{name.replace('/', '__')}.png"),
                     cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
         print(f"{name}: {len(frames)} frames, "
               f"jax fired {sum(bool(x) for x in jb)}, "
@@ -124,13 +148,18 @@ def propose(out_dir, per_video):
     print(f"overlays + candidates in {out_dir}")
 
 
-def freeze(curation_path):
+def freeze(curation_path, merge=False):
     with open(curation_path) as f:
         curation = json.load(f)
-    fixture = {"source": "reference sample_prediction_data, boxes curated "
-                         "by visual inspection of detector overlays "
-                         "(tools/facedet_realframe_fixture.py propose)",
+    fixture = {"source": "reference sample videos (sample_prediction_data + "
+                         "path-prefixed keys for other reference dirs), "
+                         "boxes curated by visual inspection of detector "
+                         "overlays (tools/facedet_realframe_fixture.py "
+                         "propose)",
                "boxes": {}}
+    if merge and os.path.exists(FIXTURE):
+        with open(FIXTURE) as f:
+            fixture["boxes"] = json.load(f)["boxes"]
     for key, entry in sorted(curation.items()):
         if entry.get("box") is None:
             continue  # frame rejected (no clear face)
@@ -160,7 +189,7 @@ def evaluate(backends=("jax",), checkpoint=None):
     ious = {b: [] for b in backends}
     per_video = {b: {} for b in backends}
     for name, items in sorted(by_video.items()):
-        vp = os.path.join(SAMPLE_DIR, name)
+        vp = resolve_video(name)
         import cv2
 
         cap = cv2.VideoCapture(vp)
@@ -200,14 +229,18 @@ if __name__ == "__main__":
     ap.add_argument("--out-dir", default="/tmp/facedet_realframe")
     ap.add_argument("--per-video", type=int, default=10)
     ap.add_argument("--curation")
+    ap.add_argument("--merge", action="store_true",
+                    help="freeze: keep existing fixture boxes, add new ones")
+    ap.add_argument("--videos", nargs="*", default=None,
+                    help="propose: explicit video paths (default: SAMPLE_DIR)")
     ap.add_argument("--backends", default="hybrid,jax,haar",
                     help="comma list: hybrid,jax,haar,fullframe,center,skin")
     ap.add_argument("--checkpoint", default=None,
                     help="alternate facedet checkpoint for the jax backend")
     args = ap.parse_args()
     if args.stage == "propose":
-        propose(args.out_dir, args.per_video)
+        propose(args.out_dir, args.per_video, videos=args.videos)
     elif args.stage == "freeze":
-        freeze(args.curation)
+        freeze(args.curation, merge=args.merge)
     else:
         evaluate(tuple(args.backends.split(",")), checkpoint=args.checkpoint)
