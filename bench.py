@@ -78,7 +78,11 @@ def emit():
 def _on_signal(signum, frame):
     log(f"signal {signum}: flushing best-so-far result")
     emit()
-    os._exit(0 if _state["printed"] is not None else 1)
+    # exit 0 only if a MEASURED line is out (the startup placeholder keeps
+    # stdout parseable but carries an "error" field — a kill before any
+    # trial is still a failed run and the exit status must say so)
+    printed = _state["printed"]
+    os._exit(0 if printed is not None and "error" not in printed else 1)
 
 
 def deadline_left():

@@ -16,7 +16,6 @@ from __future__ import annotations
 import concurrent.futures as cf
 import contextlib
 import logging
-import math
 import os
 import time
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
@@ -145,6 +144,14 @@ class Predictor:
                 and os.environ.get("GENCONVIT_INT8_HEADS") != "1"
                 and getattr(self.config.model, "vae_variant", "original")
                 == "original")
+        elif init_heads_on_device and os.environ.get(
+                "GENCONVIT_INT8_HEADS") == "1":
+            # the int8 quantization pass runs during host staging and would
+            # silently miss heads generated on device afterwards — honor the
+            # int8 request and fall back to the host init path
+            log.warning("init_heads_on_device=True ignored: "
+                        "GENCONVIT_INT8_HEADS=1 requires host-side heads")
+            init_heads_on_device = False
         self._want_device_heads = bool(init_heads_on_device) and net in (
             "vae", "genconvit")
         self._device_latent_heads = False  # set by _load_or_init (random init)
@@ -279,13 +286,10 @@ class Predictor:
         random weights "generate in folded layout" == "generate then fold".
         Values differ from the host path (threefry stream keyed separately)
         — random weights carry no parity contract."""
-        cfg = self.config
-        feat_hw = cfg.img_size // 16
-        flat = 128 * feat_hw * feat_hw
-        latent = (cfg.model.latent_dims if cfg.img_size == 224
-                  else cfg.derived_latent_dims())
+        from genconvit_tpu.models.genconvit import vae_latent_head_spec
+
+        flat, latent, bound = vae_latent_head_spec(self.config)
         hwc = os.environ.get("GENCONVIT_VAE_HWC", "1") == "1"
-        bound = 1.0 / math.sqrt(flat)
         dt = self.dtype
 
         def gen(key):

@@ -25,6 +25,21 @@ from genconvit_tpu.models.vae import init_vae, init_vae_updated, vae_apply
 VALID_NETS = ("ed", "vae", "genconvit")
 
 
+def vae_latent_head_spec(config: Config):
+    """(flat_in, latent_dims, init_bound) of the VAE mu/var Linear heads.
+
+    The single source of the head geometry: init_genconvit's latent-dims
+    selection (explicit at 224, derived otherwise — ref model/config.yaml
+    latent_dims vs model/genconvit_vae.py:36-37 Linear(flat, latent)) and
+    the torch Linear default bound 1/sqrt(fan_in). Shared by host init and
+    the engine's on-device random-init path so they cannot drift."""
+    feat_hw = config.img_size // 16
+    flat = 128 * feat_hw * feat_hw
+    latent = (config.model.latent_dims if config.img_size == 224
+              else config.derived_latent_dims())
+    return flat, latent, flat ** -0.5
+
+
 def init_genconvit(key: jax.Array, config: Config, net: str = "genconvit",
                    skip_vae_latent_heads: bool = False) -> Dict:
     """Param tree with 'ed' and/or 'vae' branches per `net`.
@@ -47,8 +62,7 @@ def init_genconvit(key: jax.Array, config: Config, net: str = "genconvit",
             kwargs["skip_latent_heads"] = skip_vae_latent_heads
         params["vae"] = init_fn(
             k_vae, backbone, config.img_size,
-            latent_dims=(config.model.latent_dims
-                         if config.img_size == 224 else config.derived_latent_dims()),
+            latent_dims=vae_latent_head_spec(config)[1],
             num_classes=config.num_classes,
             carry_dead_params=config.model.carry_dead_params,
             embedder=config.model.embedder,

@@ -27,11 +27,22 @@ def _spawn_bench():
 
 
 def _read_line(proc, timeout=120.0):
-    """First stdout line (the placeholder prints before jax imports)."""
-    deadline = time.time() + timeout
-    line = proc.stdout.readline()
-    assert line, f"no stdout line within {time.time() - deadline + timeout}s"
-    return line
+    """First stdout line (the placeholder prints before jax imports).
+
+    readline() runs on a helper thread so the timeout is real: if the
+    placeholder contract regresses (e.g. the print moves after a hung jax
+    import) the test FAILS in `timeout` seconds instead of hanging CI."""
+    import threading
+
+    box = []
+    t = threading.Thread(target=lambda: box.append(proc.stdout.readline()),
+                         daemon=True)
+    start = time.time()
+    t.start()
+    t.join(timeout)
+    assert box and box[0], \
+        f"no stdout line within {time.time() - start:.0f}s"
+    return box[0]
 
 
 def test_placeholder_line_parses_and_supersedes_nothing():

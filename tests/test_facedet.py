@@ -537,27 +537,34 @@ def test_distill_window_crops_geometry():
 
 def test_intact_crop_edge_bias():
     """facedet_synth._intact_crop: crop left positions prefer both frame
-    edges over the center (regression for the 50%-pinned-to-zero bug)."""
+    edges over the center (regression for the 50%-pinned-to-zero bug).
+
+    The crop's top-left pixel decodes `left` from a full-range column
+    gradient (value ~= left*255/(w-1), no mod-256 wrap; INTER_AREA block
+    averaging shifts it by <3 units). Bars were set by simulating the
+    three candidate samplers at w=1280, side~U(0.3,0.9)*360 (20k draws):
+      edge-biased (shipped): lo=0.13  hi=0.24  center=0.39
+      uniform (no bias):     lo=0.06  hi=0.16  center=0.52
+      50%-pinned-to-zero:    lo=0.62  hi=0.04  center=0.20
+    so lo>=0.09 rejects uniform, hi>=0.19 rejects uniform AND pinned,
+    center<=0.46 rejects uniform — each failure mode trips a bar."""
     from genconvit_tpu.data.facedet_synth import _intact_crop
 
     gen = np.random.default_rng(11)
-    # uniform gray frame with NO skin tones so the veto never fires
-    frame = np.full((360, 1280, 3), 64, np.uint8)
-    lefts = []
-    for _ in range(300):
-        # reconstruct left from the crop by matching is impossible on a
-        # uniform frame; instead call the underlying math via a stub frame
-        # with a column gradient so the crop's first column encodes left
-        grad = np.tile(np.arange(1280, dtype=np.uint16) % 256,
-                       (360, 1)).astype(np.uint8)
-        f = np.stack([grad, grad, grad], -1)
+    w = 1280
+    grad = np.tile((np.arange(w) * 255.0 / (w - 1)).astype(np.uint8),
+                   (360, 1))
+    f = np.stack([grad, grad, grad], -1)  # gray gradient: skin veto off
+    vals = []
+    for _ in range(500):
         crop = _intact_crop(gen, [f])
-        if crop is None:
-            continue
-        lefts.append(int(crop[0, 0, 0]))
-    assert len(lefts) > 100
-    lefts = np.array(lefts)
-    # bias check: substantially more mass in the outer thirds than center
-    third = 256 // 3
-    outer = ((lefts < third) | (lefts > 2 * third)).mean()
-    assert outer > 0.5, f"edge mass only {outer:.2f}"
+        if crop is not None:
+            vals.append(int(crop[0, 0, 0]))
+    assert len(vals) >= 300
+    v = np.array(vals)
+    lo = (v <= 12).mean()
+    hi = (v >= 178).mean()
+    center = ((v > 40) & (v < 150)).mean()
+    assert lo >= 0.09, f"hard-left mass {lo:.3f} (uniform-like: no edge bias)"
+    assert hi >= 0.19, f"hard-right mass {hi:.3f} (pinned-to-zero regression)"
+    assert center <= 0.46, f"center mass {center:.3f} (no edge preference)"

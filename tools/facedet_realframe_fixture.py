@@ -6,9 +6,11 @@ synthetic-composite distribution it was trained on. This tool grounds them
 on actually-decoded reference sample videos:
 
   stage 'propose':  decode N frames/video from the reference's bundled
-      sample videos, run the jax + skin detectors, write (a) a candidates
+      sample videos (or explicit --videos), run the jax + skin (+ hybrid
+      when the cascade shim is built) detectors, write (a) a candidates
       JSON and (b) overlay grids (PNG) for human curation — jax boxes drawn
-      GREEN, skin boxes BLUE, frame index labels burned in.
+      GREEN, skin boxes BLUE, hybrid boxes RED, frame index labels burned
+      in.
   stage 'freeze':   merge a curation JSON (frame key -> accepted box or
       corrected [t,r,b,l]) with the candidates into the committed fixture
       tests/fixtures/facedet_realframes.json.
