@@ -210,6 +210,10 @@ def main():
             out.update(e2e)
         elif "e2e_sample_videos_per_sec" in prev:
             out.update({k: prev[k] for k in prev if k.startswith("e2e_")})
+        # fields set once via `extra` by an earlier phase (e.g. the V=1
+        # latency block) must survive later refresh() rebuilds
+        out.update({k: prev[k] for k in prev
+                    if k.startswith("latency_") and k not in out})
         if extra:
             out.update(extra)
         _state["out"] = out
@@ -261,6 +265,44 @@ def main():
         refresh()
         emit()
         del dev, dmask, keys
+
+    # ---- single-video latency: V=1 launch time (serving SLA number) ----
+    # Device-side per-launch time at V=1 via the same async-dispatch/
+    # single-fetch loop (pipelined, so the relay's per-RPC 150-300ms rides
+    # outside the measured steady state). This is the latency a resident
+    # server pays per lone video, vs the throughput-optimal V>=8 batches.
+    if os.environ.get("GENCONVIT_BENCH_LATENCY", "1") == "1" \
+            and deadline_left() > 300:
+        try:
+            dev1 = [jax.device_put(rng.integers(
+                0, 255, (1, FRAMES, IMG, IMG, 3), np.uint8), device)
+                for _ in range(4)]
+            m1 = jax.device_put(np.ones((1, FRAMES), np.float32), device)
+            fn1 = predictor._forward_fn(FRAMES, batched=True, stacked=True)
+            l_iters = int(os.environ.get("GENCONVIT_BENCH_LATENCY_ITERS", "24"))
+            lkeys = make_keys(trials * l_iters + 3, salt=777)
+            t0 = time.perf_counter()
+            np.asarray(fn1(predictor.params, dev1[0], m1, lkeys[-1]))
+            log(f"V=1: first call (compile) {time.perf_counter() - t0:.1f}s")
+            np.asarray(fn1(predictor.params, dev1[1], m1, lkeys[-2]))
+            np.asarray(fn1(predictor.params, dev1[2], m1, lkeys[-3]))
+            lat = []
+            for trial in range(trials):
+                t0 = time.perf_counter()
+                outs = [fn1(predictor.params, dev1[i % 4], m1,
+                            lkeys[trial * l_iters + i]) for i in range(l_iters)]
+                np.asarray(jnp.stack(outs))
+                lat.append((time.perf_counter() - t0) / l_iters * 1e3)
+                log(f"V=1 latency trial {trial}: {lat[-1]:.1f} ms/video")
+            refresh(extra={"latency_v1_ms": round(float(np.median(lat)), 1),
+                           "latency_note": "median V=1 launch time, "
+                           "pipelined device-resident loop (single-video "
+                           "serving latency; throughput batches use V>=8)"})
+            emit()
+            del dev1, m1, lkeys
+        except Exception as e:
+            log(f"latency phase failed ({type(e).__name__}: {e}); "
+                "keeping earlier phases")
 
     # ---- tunnel-streamed: host->device transfer in the measured loop ----
     # YUV420 transfer path: half the H2D bytes of RGB, colorspace conversion

@@ -28,8 +28,9 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import dataclasses
+import json
 import os
-from typing import Optional
+from typing import Any, Dict, Optional
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,20 +67,60 @@ class KernelPlan:
 
     @staticmethod
     def from_env() -> "KernelPlan":
-        gelu = "default"
+        """Resolve a plan from the environment — the ONE place env is read.
+
+        Layering (most specific wins):
+          1. defaults (the v5e-tuned shipped configuration);
+          2. a tuned plan file named by GENCONVIT_KERNEL_PLAN (written by
+             `tools/autotune.py` for the current chip generation);
+          3. individual GENCONVIT_* knob vars, but only those EXPLICITLY set
+             — an unset var never masks a tuned-file field.
+        """
+        base = KernelPlan()
+        plan_file = os.environ.get("GENCONVIT_KERNEL_PLAN", "")
+        if plan_file:
+            base = KernelPlan.load(plan_file)
+        fields: Dict[str, Any] = {}
         if os.environ.get("GENCONVIT_EXACT_GELU", "0") == "1":
-            gelu = "exact"
+            fields["gelu"] = "exact"
         elif os.environ.get("GENCONVIT_GELU", "") == "hp":
-            gelu = "hp"
-        return KernelPlan(
-            pallas=os.environ.get("GENCONVIT_PALLAS", ""),
-            gelu=gelu,
-            mlp_panel_mb=int(os.environ.get("GENCONVIT_MLP_PANEL", "0") or 0) or 8,
-            mlp_split=int(os.environ.get("GENCONVIT_MLP_SPLIT", "1") or 1),
-            int8_mlp={"0": "", "": "", "1": "full"}.get(
-                os.environ.get("GENCONVIT_INT8_MLP", ""),
-                os.environ.get("GENCONVIT_INT8_MLP", "")),
-        )
+            fields["gelu"] = "hp"
+        if "GENCONVIT_PALLAS" in os.environ:
+            fields["pallas"] = os.environ["GENCONVIT_PALLAS"]
+        # "0"/"" mean "unset" for the integer knobs (historical contract)
+        if int(os.environ.get("GENCONVIT_MLP_PANEL", "0") or 0):
+            fields["mlp_panel_mb"] = int(os.environ["GENCONVIT_MLP_PANEL"])
+        if int(os.environ.get("GENCONVIT_MLP_SPLIT", "0") or 0):
+            fields["mlp_split"] = int(os.environ["GENCONVIT_MLP_SPLIT"])
+        if "GENCONVIT_INT8_MLP" in os.environ:
+            raw = os.environ["GENCONVIT_INT8_MLP"]
+            fields["int8_mlp"] = {"0": "", "": "", "1": "full"}.get(raw, raw)
+        return dataclasses.replace(base, **fields) if fields else base
+
+    @staticmethod
+    def load(path: str) -> "KernelPlan":
+        """Read a plan from a JSON file written by `save_plan` (unknown and
+        underscore-prefixed keys — e.g. the autotuner's `_meta` block — are
+        ignored, so the format can grow without breaking older readers)."""
+        with open(path) as f:
+            data = json.load(f)
+        names = {f.name for f in dataclasses.fields(KernelPlan)}
+        return KernelPlan(**{k: v for k, v in data.items() if k in names})
+
+
+def save_plan(plan: KernelPlan, path: str,
+              meta: Optional[Dict[str, Any]] = None) -> None:
+    """Write `plan` as JSON consumable by `KernelPlan.load` /
+    GENCONVIT_KERNEL_PLAN; `meta` (measurement provenance: chip, date,
+    per-candidate timings) is stored under `_meta` and ignored on load."""
+    data: Dict[str, Any] = dataclasses.asdict(plan)
+    if meta:
+        data["_meta"] = meta
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=2, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, path)
 
 
 _ACTIVE: contextvars.ContextVar[Optional[KernelPlan]] = contextvars.ContextVar(

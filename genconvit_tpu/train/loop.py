@@ -55,7 +55,17 @@ def make_loss_fn(net: str, use_kl: bool = False, dtype=jnp.float32,
 
     def loss_fn(params, images_u8, labels, rng):
         x = normalize_batch(images_u8, dtype)
-        logits, aux = apply(params, x, rng)
+        if dtype == jnp.bfloat16:
+            # True mixed precision: master params stay f32 (Adam runs f32),
+            # fwd+bwd compute in bf16 via an in-graph cast — without this the
+            # f32 weights promote every matmul/conv back to f32 and the
+            # "bf16" step silently measures f32 compute. The cast's VJP casts
+            # incoming bf16 cotangents back to f32, so gradients land f32.
+            from genconvit_tpu.core.pytree import cast_floats
+
+            logits, aux = apply(cast_floats(params, jnp.bfloat16), x, rng)
+        else:
+            logits, aux = apply(params, x, rng)
         tgt = jnp.concatenate([labels, labels]) if net == "genconvit" else labels
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), tgt).mean()
@@ -81,8 +91,12 @@ def _write_back_bn(params: Dict[str, Any], bn_stats, net: str) -> Dict[str, Any]
     if branch is None or branch not in params:
         return params
     def merge(olds, news):
+        # stats keep the tree's storage dtype (mixed-precision steps compute
+        # them in bf16; the master tree stays f32)
         return [old if new is None else
-                {**old, "mean": new["mean"], "var": new["var"]}
+                {**old,
+                 "mean": new["mean"].astype(old["mean"].dtype),
+                 "var": new["var"].astype(old["var"].dtype)}
                 for old, new in zip(olds, news)]
 
     params = dict(params)
@@ -124,6 +138,10 @@ def make_eval_step(net: str, use_kl: bool = False, dtype=jnp.float32, plan=None)
 
     def step(params, images_u8, labels, rng):
         x = normalize_batch(images_u8, dtype)
+        if dtype == jnp.bfloat16:  # same mixed-precision contract as training
+            from genconvit_tpu.core.pytree import cast_floats
+
+            params = cast_floats(params, jnp.bfloat16)
         with plan_scope(plan):
             logits, aux = genconvit_apply(params, x, net=net, rng=rng,
                                           sample=True, train=False)
@@ -155,6 +173,8 @@ def train_model(
     save_best: bool = False,
     log_every: int = 10,
     data_parallel: bool = True,
+    dtype=jnp.float32,  # jnp.bfloat16 = mixed precision (f32 masters,
+    # bf16 fwd/bwd — see make_loss_fn); f32 is the torch-parity default
 ) -> Dict[str, Any]:
     """Mirror of ref train.py:36-127, data-parallel over all visible chips by
     default (batch sharded on the mesh 'data' axis; XLA all-reduces grads).
@@ -201,8 +221,8 @@ def train_model(
         min_loss = payload.get("min_loss", min_loss)
         log.info("resumed from %s (epoch %d)", pretrained, start_epoch)
 
-    train_step = make_train_step(mod, tx, use_kl)
-    eval_step = make_eval_step(mod, use_kl)
+    train_step = make_train_step(mod, tx, use_kl, dtype=dtype)
+    eval_step = make_eval_step(mod, use_kl, dtype=dtype)
     lr_of = step_lr(config.learning_rate)
 
     history = {"train_loss": [], "train_acc": [], "valid_loss": [], "valid_acc": []}

@@ -134,6 +134,41 @@ def test_predictor_jit_cache_keyed_on_plan(monkeypatch):
     assert len(p._jit_cache) == 2  # distinct plans -> distinct entries
 
 
+def test_plan_file_roundtrip_and_env_layering(tmp_path, monkeypatch):
+    """Tuned-plan files (tools/autotune.py): save -> load roundtrips every
+    field, GENCONVIT_KERNEL_PLAN feeds from_env as the base, and only
+    EXPLICITLY-set env knobs override tuned fields."""
+    from genconvit_tpu.ops.kernel_plan import save_plan
+
+    tuned = KernelPlan(pallas="mlp", gelu="hp", mlp_panel_mb=4, mlp_split=2,
+                       int8_mlp="fc1")
+    path = tmp_path / "kernel_plan.json"
+    save_plan(tuned, str(path), meta={"device_kind": "test", "note": "x"})
+    assert KernelPlan.load(str(path)) == tuned  # _meta ignored
+
+    for var in ("GENCONVIT_PALLAS", "GENCONVIT_GELU", "GENCONVIT_EXACT_GELU",
+                "GENCONVIT_MLP_PANEL", "GENCONVIT_MLP_SPLIT",
+                "GENCONVIT_INT8_MLP"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("GENCONVIT_KERNEL_PLAN", str(path))
+    assert KernelPlan.from_env() == tuned  # no env knobs -> tuned file wins
+
+    monkeypatch.setenv("GENCONVIT_PALLAS", "0")  # explicit override
+    layered = KernelPlan.from_env()
+    assert layered.pallas == "0"
+    assert (layered.gelu, layered.mlp_panel_mb, layered.mlp_split,
+            layered.int8_mlp) == ("hp", 4, 2, "fc1")  # rest still tuned
+
+    # "0" means unset for the integer knobs (historical contract)
+    monkeypatch.setenv("GENCONVIT_MLP_PANEL", "0")
+    assert KernelPlan.from_env().mlp_panel_mb == 4
+
+    monkeypatch.delenv("GENCONVIT_KERNEL_PLAN")
+    monkeypatch.delenv("GENCONVIT_PALLAS")
+    monkeypatch.delenv("GENCONVIT_MLP_PANEL")
+    assert KernelPlan.from_env() == KernelPlan()  # no file, no knobs
+
+
 def test_fast_init_matches_torch_default_stats(monkeypatch):
     """GENCONVIT_FAST_INIT draws must follow the same distributions as the
     jax path (torch kaiming-uniform bounds / trunc-normal)."""

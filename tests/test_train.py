@@ -93,6 +93,35 @@ def test_vae_bn_stats_update(small_cfg, rng):
     assert np.abs(after - before).max() > 0  # running stats moved
 
 
+def test_mixed_precision_step_keeps_f32_masters(small_cfg, rng):
+    """dtype=bf16 trains with an in-graph bf16 cast (true mixed precision:
+    without it the f32 masters promote the whole graph back to f32) while
+    the master tree — weights, Adam state, BN running stats — stays f32."""
+    params = init_genconvit(jax.random.PRNGKey(0), small_cfg, "vae")
+    tx = make_optimizer(1e-3, 1e-4)
+    opt_state = tx.init(params)
+    step = make_train_step("vae", tx, dtype=jnp.bfloat16, donate=False)
+    imgs = (rng.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    labels = np.array([0, 1, 0, 1], np.int32)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        params, opt_state, loss, acc = step(
+            params, opt_state, jnp.asarray(imgs), jnp.asarray(labels), k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    kernels = [params["vae"]["encoder"]["mu"]["kernel"],
+               params["vae"]["encoder"]["convs"][0]["kernel"],
+               params["vae"]["encoder"]["bns"][0]["mean"]]
+    assert all(k.dtype == jnp.float32 for k in kernels)
+    # eval step under the same contract stays finite
+    ev = make_eval_step("vae", dtype=jnp.bfloat16)
+    l2, a2, _ = ev(params, jnp.asarray(imgs), jnp.asarray(labels),
+                   jax.random.PRNGKey(2))
+    assert np.isfinite(float(l2))
+
+
 def test_decay_mask_excludes_bn_stats(small_cfg):
     from genconvit_tpu.train.optim import _decay_mask
 

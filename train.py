@@ -14,6 +14,8 @@ import time
 from genconvit_tpu.config import load_config
 from genconvit_tpu.train.loop import train_model
 
+import jax.numpy as jnp  # after genconvit_tpu: GENCONVIT_PLATFORM pinning
+
 logging.basicConfig(level=logging.INFO, format="%(message)s")
 
 
@@ -41,6 +43,10 @@ def gen_parser() -> argparse.Namespace:
                    help="'updated' = the train_updated.py variant (fixed "
                         "reparameterization, Tanh decoder, dropout head — "
                         "ref model/genconvit_vae_updated.py)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 forward/backward, "
+                        "f32 master weights + Adam state (f32 = the "
+                        "torch-parity default)")
     return p.parse_args()
 
 
@@ -66,6 +72,7 @@ def main():
         seed=args.seed,
         use_kl=args.kl,
         save_best=args.save_best,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     print(f"\n\n--- {time.perf_counter() - start:.2f} seconds ---")
 
