@@ -211,9 +211,9 @@ def main():
         elif "e2e_sample_videos_per_sec" in prev:
             out.update({k: prev[k] for k in prev if k.startswith("e2e_")})
         # fields set once via `extra` by an earlier phase (e.g. the V=1
-        # latency block) must survive later refresh() rebuilds
+        # latency or dw_rank1 blocks) must survive later refresh() rebuilds
         out.update({k: prev[k] for k in prev
-                    if k.startswith("latency_") and k not in out})
+                    if k.startswith(("latency_", "dw_rank")) and k not in out})
         if extra:
             out.update(extra)
         _state["out"] = out
@@ -302,6 +302,59 @@ def main():
             del dev1, m1, lkeys
         except Exception as e:
             log(f"latency phase failed ({type(e).__name__}: {e}); "
+                "keeping earlier phases")
+
+    # ---- dw_rank=1 approximate-mode throughput (side number, NOT headline) -
+    # Rank-1 separable depthwise (ops/dwsep.py): the only measured lever below
+    # the VPU tap floor — at the cost of an SVD approximation of the trained
+    # 7x7 filters. Reported as a SIDE field so the headline `value` stays
+    # exact-semantics; the retained-energy stat quantifies the approximation
+    # for the weights actually benched. Reuses the resident predictor's device
+    # params (only the tiny dw kernels round-trip for the host-side SVD).
+    if (os.environ.get("GENCONVIT_BENCH_DWRANK", "1") == "1"
+            and backend == "tpu" and best and deadline_left() > 420):
+        try:
+            from genconvit_tpu.ops.dwsep import add_dw_sep
+
+            t0 = time.perf_counter()
+            params_sep, sst = add_dw_sep(predictor.params, 1)
+            log(f"dw_rank=1 fold {time.perf_counter() - t0:.1f}s "
+                f"(energy mean {sst['energy_mean']:.3f})")
+            vb = int(best_detail.get("v_batch", 16))
+            devs = [jax.device_put(rng.integers(
+                0, 255, (vb, FRAMES, IMG, IMG, 3), np.uint8), device)
+                for _ in range(4)]
+            dm = jax.device_put(np.ones((vb, FRAMES), np.float32), device)
+            fns = predictor._forward_fn(FRAMES, batched=True, stacked=True)
+            d_iters = max(6, int(np.ceil(48 / vb)))
+            dkeys = make_keys(2 * d_iters + 3, salt=4242)
+            t0 = time.perf_counter()
+            np.asarray(fns(params_sep, devs[0], dm, dkeys[-1]))
+            log(f"dw_rank=1 V={vb}: first call (compile) "
+                f"{time.perf_counter() - t0:.1f}s")
+            np.asarray(fns(params_sep, devs[1], dm, dkeys[-2]))
+            rates = []
+            for trial in range(2):
+                t0 = time.perf_counter()
+                outs = [fns(params_sep, devs[i % 4], dm,
+                            dkeys[trial * d_iters + i]) for i in range(d_iters)]
+                np.asarray(jnp.stack(outs))
+                dt = time.perf_counter() - t0
+                rates.append(vb * d_iters / dt)
+                log(f"dw_rank=1 trial {trial}: {rates[-1]:.1f} videos/s "
+                    f"({dt / d_iters * 1e3:.1f} ms/launch)")
+            refresh(extra={
+                "dw_rank1_videos_per_sec": round(float(np.median(rates)), 2),
+                "dw_rank1_energy_mean": round(sst["energy_mean"], 3),
+                "dw_rank1_note": ("OPT-IN approximate mode (rank-1 SVD of the "
+                                  "7x7 depthwise filters, 14 vs 49 taps; "
+                                  "GENCONVIT_DW_RANK=1) — side number, "
+                                  "headline stays exact-semantics"),
+            })
+            emit()
+            del params_sep, devs, dm, dkeys
+        except Exception as e:
+            log(f"dw_rank phase failed ({type(e).__name__}: {e}); "
                 "keeping earlier phases")
 
     # ---- tunnel-streamed: host->device transfer in the measured loop ----

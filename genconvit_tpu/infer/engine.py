@@ -175,6 +175,22 @@ class Predictor:
                 t = time.perf_counter()
                 params = cast_floats(params, jnp.bfloat16)
                 log.info("init: bf16 cast %.1fs", time.perf_counter() - t)
+            if self.kernel_plan.dw_rank > 0:
+                # opt-in rank-R separable depthwise (ops/dwsep.py): attach
+                # SVD factors beside every 7x7 depthwise kernel. AFTER the
+                # bf16 cast so the SVD factorizes the same effective weights
+                # the exact path would convolve with. Approximation quality
+                # is checkpoint-dependent — log it.
+                from genconvit_tpu.ops.dwsep import add_dw_sep
+
+                t = time.perf_counter()
+                params, sst = add_dw_sep(params, self.kernel_plan.dw_rank)
+                log.info(
+                    "init: dw_rank=%d separable fold %.1fs (%d filters, "
+                    "retained SVD energy mean %.3f min %.3f — APPROXIMATE "
+                    "inference)", self.kernel_plan.dw_rank,
+                    time.perf_counter() - t, int(sst["count"]),
+                    sst["energy_mean"], sst["energy_min"])
             if ("vae" in params and "encoder" in params["vae"]
                     and "mu" in params["vae"]["encoder"]
                     and os.environ.get("GENCONVIT_VAE_HWC", "1") == "1"):

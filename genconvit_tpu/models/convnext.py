@@ -83,10 +83,30 @@ def init_convnext(key: jax.Array, name: str = "convnext_tiny", num_classes: int 
     return params
 
 
+def _dw_conv(p: Dict, x: jax.Array, groups: int) -> jax.Array:
+    """Depthwise conv of a block — exact 7x7, or the rank-R separable
+    approximation when the engine attached `conv_dw_sep` factors
+    (ops/dwsep.py, KernelPlan.dw_rank). Dispatch is on tree PRESENCE, so
+    traced code needs no knob and jit caches re-key automatically. Each
+    rank costs a 1x7 row pass + a 7x1 column pass (14 taps vs 49); the
+    bias is applied once at the end, as in the exact path."""
+    sep = p.get("conv_dw_sep")
+    if sep is None:
+        return conv2d(x, p["conv_dw"]["kernel"].astype(x.dtype),
+                      p["conv_dw"]["bias"], padding=3, groups=groups)
+    kr, kc = sep["kr"], sep["kc"]
+    acc = None
+    for r in range(kr.shape[0]):
+        t = conv2d(x, kr[r].astype(x.dtype), None, padding=(0, 3), groups=groups)
+        t = conv2d(t, kc[r].astype(x.dtype), None, padding=(3, 0), groups=groups)
+        acc = t if acc is None else acc + t
+    return acc + p["conv_dw"]["bias"].astype(acc.dtype)
+
+
 def _block_xla(p: Dict, x: jax.Array) -> jax.Array:
     shortcut = x
     dim = x.shape[-1]
-    x = conv2d(x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"], padding=3, groups=dim)
+    x = _dw_conv(p, x, dim)
     x = layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps=_LN_EPS)
     x = linear(x, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"])
     x = gelu(x)
@@ -109,7 +129,7 @@ def _block_xla_folded(p: Dict, x: jax.Array) -> jax.Array:
     """
     shortcut = x
     dim = x.shape[-1]
-    x = conv2d(x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"], padding=3, groups=dim)
+    x = _dw_conv(p, x, dim)
 
     # LN moments via plain f32 reductions. (MXU-matmul stats — x @ ones/C —
     # win standalone on the microbench, 0.55 vs 2.4ms, but measured WORSE
@@ -225,7 +245,7 @@ def _pad_block_params(p: Dict, c: int, c_pad: int) -> Dict:
     if c_pad == c:
         return p
     pc = c_pad - c
-    return {
+    out = {
         "conv_dw": {
             "kernel": jnp.pad(p["conv_dw"]["kernel"], ((0, 0), (0, 0), (0, 0), (0, pc))),
             "bias": jnp.pad(p["conv_dw"]["bias"], (0, pc)),
@@ -242,6 +262,14 @@ def _pad_block_params(p: Dict, c: int, c_pad: int) -> Dict:
         },
         "gamma": jnp.pad(p["gamma"], (0, pc)),
     }
+    if "conv_dw_sep" in p:  # rank-R separable factors pad on C like the 7x7
+        out["conv_dw_sep"] = {
+            "kr": jnp.pad(p["conv_dw_sep"]["kr"],
+                          ((0, 0),) * 4 + ((0, pc),)),
+            "kc": jnp.pad(p["conv_dw_sep"]["kc"],
+                          ((0, 0),) * 4 + ((0, pc),)),
+        }
+    return out
 
 
 @jax.custom_vjp
@@ -267,8 +295,7 @@ def _apply_stage_mlp_kernel(blocks, x: jax.Array) -> jax.Array:
 
     for blk in blocks:
         bp = _pad_block_params(blk, c, c_pad)
-        dw = conv2d(x, bp["conv_dw"]["kernel"].astype(x.dtype),
-                    bp["conv_dw"]["bias"], padding=3, groups=c_pad)
+        dw = _dw_conv(bp, x, c_pad)
         dw_t = jnp.transpose(dw, (1, 2, 0, 3))
         x_t = jnp.transpose(x, (1, 2, 0, 3))
         out_t = fused_ln_mlp_residual(dw_t, x_t, bp, real_c=c)
@@ -364,8 +391,7 @@ def _features_mlp_kernel(params: Dict, x: jax.Array) -> jax.Array:
         for bi, blk in enumerate(stage["blocks"]):
             bp = _pad_block_params(blk, c, c_pad)
             xn = jnp.transpose(t, (2, 0, 1, 3))
-            dw = conv2d(xn, bp["conv_dw"]["kernel"].astype(xn.dtype),
-                        bp["conv_dw"]["bias"], padding=3, groups=c_pad)
+            dw = _dw_conv(bp, xn, c_pad)
             dw_t = jnp.transpose(dw, (1, 2, 0, 3))
             post_ln = None
             if bi == len(stage["blocks"]) - 1 and si + 1 < n_stages:

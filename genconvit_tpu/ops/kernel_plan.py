@@ -57,6 +57,13 @@ class KernelPlan:
                 (measured NET SLOWER on v5e: the absmax+dequant VPU passes
                 over the 4C-wide hidden exceed the MXU saving — kept for
                 A/B and future chips; tools/microbench_int8_dot.py)
+    dw_rank: rank-R separable depthwise APPROXIMATION (ops/dwsep.py):
+        0       off — exact 7x7 depthwise everywhere (default)
+        R>0     the inference engine replaces each depthwise 7x7 with R
+                SVD-separable 1x7+7x1 passes (14R taps vs 49; rank-1
+                measured ~2x launch-equivalent on v5e). Inference-only;
+                retained SVD energy of the actual checkpoint is logged at
+                engine prep. Training and parity paths ignore it.
     """
 
     pallas: str = ""
@@ -64,6 +71,7 @@ class KernelPlan:
     mlp_panel_mb: int = 8
     mlp_split: int = 1
     int8_mlp: str = ""
+    dw_rank: int = 0
 
     @staticmethod
     def from_env() -> "KernelPlan":
@@ -95,6 +103,8 @@ class KernelPlan:
         if "GENCONVIT_INT8_MLP" in os.environ:
             raw = os.environ["GENCONVIT_INT8_MLP"]
             fields["int8_mlp"] = {"0": "", "": "", "1": "full"}.get(raw, raw)
+        if "GENCONVIT_DW_RANK" in os.environ:
+            fields["dw_rank"] = int(os.environ["GENCONVIT_DW_RANK"] or 0)
         return dataclasses.replace(base, **fields) if fields else base
 
     @staticmethod
