@@ -139,6 +139,27 @@ def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
+    # build the native FFmpeg decoder if missing: the .so is gitignored, so
+    # a fresh workspace checkout doesn't carry it and the e2e phase would
+    # silently degrade to "phase failed" (observed: RuntimeError 'native
+    # decoder not built'). The build is a single ~5s g++ invocation.
+    from genconvit_tpu.data import native as _native
+
+    if not _native.native_available():
+        import subprocess
+
+        try:
+            ndir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "native")
+            r = subprocess.run(["make", "-C", ndir], timeout=240,
+                               capture_output=True, text=True)
+            _native._load_failed = False  # retry the (cached-failed) probe
+            log(f"native decoder build: rc={r.returncode}, now "
+                f"available={_native.native_available()}")
+        except Exception as e:
+            log(f"native decoder build failed ({type(e).__name__}: {e}); "
+                "e2e phase will be skipped")
+
     config = Config()
     config.weight_dir = os.environ.get("GENCONVIT_WEIGHT_DIR", "weight")
     # random-weight fallback only exercises the compute path — use the
