@@ -53,6 +53,15 @@ class TestFactorization:
         approx = cnx._dw_conv(blk_sep, x, dim)
         np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
                                    rtol=0, atol=2e-4)
+        # dispatch proof: with the dense 7x7 kernel zeroed but the factors
+        # kept, the output must still match — i.e. the separable branch is
+        # genuinely the one executing (a silent fall-through to conv_dw
+        # would also pass the allclose above, since rank-7 reconstructs)
+        blk_zero = dict(blk_sep)
+        blk_zero["conv_dw"] = {"kernel": jnp.zeros_like(blk["conv_dw"]["kernel"]),
+                               "bias": blk["conv_dw"]["bias"]}
+        np.testing.assert_allclose(np.asarray(cnx._dw_conv(blk_zero, x, dim)),
+                                   np.asarray(exact), rtol=0, atol=2e-4)
 
     def test_separable_filter_is_exact_at_rank1(self, rng):
         dim = 4
