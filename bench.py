@@ -165,7 +165,16 @@ def main():
     # random-weight fallback only exercises the compute path — use the
     # seconds-fast numpy init, not 90s of single-core threefry (ops/init.py)
     os.environ.setdefault("GENCONVIT_FAST_INIT", "1")
+    # The headline is exact-semantics by contract: force dw_rank=0 even if
+    # GENCONVIT_DW_RANK is exported (the dw_rank phase below measures the
+    # approximate mode explicitly, against this exact baseline).
+    import dataclasses as _dc
+
+    from genconvit_tpu.ops.kernel_plan import KernelPlan
+
+    plan = _dc.replace(KernelPlan.from_env(), dw_rank=0)
     predictor = Predictor(config, net="genconvit", face_backend="fullframe",
+                          kernel_plan=plan,
                           dtype=jnp.bfloat16 if backend == "tpu" else jnp.float32)
     log("predictor ready (host-staged init + single upload)")
 

@@ -175,7 +175,7 @@ class Predictor:
                 t = time.perf_counter()
                 params = cast_floats(params, jnp.bfloat16)
                 log.info("init: bf16 cast %.1fs", time.perf_counter() - t)
-            if self.kernel_plan.dw_rank > 0:
+            if self.kernel_plan.dw_rank:  # int>0 or "auto:<energy>[:<max>]"
                 # opt-in rank-R separable depthwise (ops/dwsep.py): attach
                 # SVD factors beside every 7x7 depthwise kernel. AFTER the
                 # bf16 cast so the SVD factorizes the same effective weights
@@ -183,14 +183,30 @@ class Predictor:
                 # is checkpoint-dependent — log it.
                 from genconvit_tpu.ops.dwsep import add_dw_sep
 
+                if self.kernel_plan.pallas in ("stage", "1"):
+                    # the A/B Pallas variants read conv_dw.kernel directly
+                    # inside their kernels (ops/pallas/convnext_stage.py,
+                    # convnext_block.py) and would silently ignore the
+                    # separable factors — the run would be EXACT while the
+                    # logs claim approximate. Refuse the combination.
+                    raise ValueError(
+                        f"dw_rank={self.kernel_plan.dw_rank} is not supported "
+                        f"with GENCONVIT_PALLAS={self.kernel_plan.pallas!r}: "
+                        "the 'stage'/'1' A/B kernels convolve the exact 7x7 "
+                        "weights and ignore separable factors. Use the "
+                        "default backbone ('' / 'mlp' / 'mlpfull' / '0').")
                 t = time.perf_counter()
                 params, sst = add_dw_sep(params, self.kernel_plan.dw_rank)
                 log.info(
-                    "init: dw_rank=%d separable fold %.1fs (%d filters, "
+                    "init: dw_rank=%s separable fold %.1fs (%d filter-"
+                    "channels across %d blocks [rank mix %s, %d exact], "
                     "retained SVD energy mean %.3f min %.3f — APPROXIMATE "
                     "inference)", self.kernel_plan.dw_rank,
                     time.perf_counter() - t, int(sst["count"]),
+                    int(sst["blocks_sep"]), sst["rank_hist"],
+                    int(sst["blocks_exact"]),
                     sst["energy_mean"], sst["energy_min"])
+                self.dw_sep_stats = sst
             if ("vae" in params and "encoder" in params["vae"]
                     and "mu" in params["vae"]["encoder"]
                     and os.environ.get("GENCONVIT_VAE_HWC", "1") == "1"):

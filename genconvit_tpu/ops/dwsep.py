@@ -24,9 +24,45 @@ via timm convnext); dw_rank=0 keeps exact semantics everywhere.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Tuple, Union
 
 import numpy as np
+
+RankSpec = Union[int, str]
+
+
+def parse_rank_spec(rank: RankSpec) -> Tuple[str, float, int]:
+    """Normalize a dw_rank knob value into (mode, energy_bar, max_rank).
+
+    Accepted forms:
+      R (int, or an int-like str)      -> ("fixed", 0.0, R)
+      "auto:<energy>"                  -> ("auto", energy, 3)
+      "auto:<energy>:<max_rank>"      -> ("auto", energy, max_rank)
+
+    Auto mode picks a per-BLOCK rank: the smallest R such that every
+    channel's retained SVD energy at rank R meets the bar; blocks needing
+    more than max_rank stay EXACT (no factors attached — the per-block
+    presence dispatch in models/convnext.py handles the mix natively).
+    max_rank defaults to 3: at R=3 the separable path costs 42 taps vs the
+    exact 49, already near the break-even of the two-pass overhead.
+    """
+    if isinstance(rank, int):
+        return ("fixed", 0.0, rank)
+    s = str(rank).strip()
+    if not s.startswith("auto"):
+        return ("fixed", 0.0, int(s or 0))
+    parts = s.split(":")
+    if len(parts) < 2 or len(parts) > 3:
+        raise ValueError(f"bad dw_rank spec {rank!r}: want 'auto:<energy>"
+                         f"[:<max_rank>]' or an integer rank")
+    energy = float(parts[1])
+    if not 0.0 < energy <= 1.0:
+        raise ValueError(f"dw_rank auto energy bar must be in (0,1], "
+                         f"got {energy}")
+    max_rank = int(parts[2]) if len(parts) == 3 else 3
+    if max_rank < 1:
+        raise ValueError(f"dw_rank auto max_rank must be >=1, got {max_rank}")
+    return ("auto", energy, max_rank)
 
 
 def factorize_dw_kernel(kernel: Any, rank: int
@@ -59,8 +95,22 @@ def factorize_dw_kernel(kernel: Any, rank: int
     return kr, kc, energy
 
 
-def add_dw_sep(params: Any, rank: int) -> Tuple[Any, Dict[str, float]]:
-    """Attach separable factors beside every depthwise conv in a param tree.
+def required_block_rank(kernel: Any, energy_bar: float) -> int:
+    """Smallest rank R such that EVERY channel of this block's depthwise
+    kernel retains >= energy_bar of its SVD energy at rank R."""
+    k = np.asarray(kernel, np.float32)
+    m = k[:, :, 0, :].transpose(2, 0, 1)                  # [C, kh, kw]
+    s = np.linalg.svd(m, compute_uv=False)                # [C, r]
+    s2 = s * s
+    cum = np.cumsum(s2, axis=1) / np.maximum(
+        s2.sum(axis=1, keepdims=True), 1e-30)             # [C, r] cumulative
+    # per-channel first rank index meeting the bar (argmax of the bool mask)
+    need = np.argmax(cum >= energy_bar - 1e-9, axis=1) + 1
+    return int(need.max())
+
+
+def add_dw_sep(params: Any, rank: RankSpec) -> Tuple[Any, Dict[str, float]]:
+    """Attach separable factors beside depthwise convs in a param tree.
 
     Walks any nested dict/list tree; wherever a block dict holds a
     `conv_dw` entry with an HWIO [kh,kw,1,C] kernel, adds a sibling
@@ -70,12 +120,24 @@ def add_dw_sep(params: Any, rank: int) -> Tuple[Any, Dict[str, float]]:
     of `conv_dw_sep` (models/convnext.py `_dw_conv`), so the returned tree
     is self-describing and naturally re-keys every jit cache.
 
-    Returns (new_tree, stats) with retained-energy aggregates over all
-    factorized filters: {"count", "energy_mean", "energy_min"}.
+    `rank` is an int (fixed rank for every block) or an adaptive spec
+    "auto:<energy>[:<max_rank>]" (parse_rank_spec): each block gets the
+    smallest rank whose worst channel meets the energy bar; blocks that
+    would need more than max_rank stay EXACT (no factors attached).
+
+    Returns (new_tree, stats): retained-energy aggregates over the
+    channels actually factorized {"count", "energy_mean", "energy_min"},
+    plus {"blocks_sep", "blocks_exact", "rank_hist"} describing the
+    per-block decisions ("rank_hist" maps rank -> block count; exact
+    blocks appear under "blocks_exact" only).
     """
+    mode, energy_bar, max_rank = parse_rank_spec(rank)
     energies = []
+    rank_hist: Dict[int, int] = {}
+    blocks_exact = 0
 
     def walk(node):
+        nonlocal blocks_exact
         if isinstance(node, dict):
             out = {k: walk(v) for k, v in node.items()}
             cd = out.get("conv_dw")
@@ -84,11 +146,18 @@ def add_dw_sep(params: Any, rank: int) -> Tuple[Any, Dict[str, float]]:
                     and cd["kernel"].shape[2] == 1):
                 import jax.numpy as jnp
 
-                kr, kc, energy = factorize_dw_kernel(cd["kernel"], rank)
+                r = max_rank
+                if mode == "auto":
+                    r = required_block_rank(cd["kernel"], energy_bar)
+                    if r > max_rank:
+                        blocks_exact += 1
+                        return out
+                kr, kc, energy = factorize_dw_kernel(cd["kernel"], r)
                 dt = cd["kernel"].dtype
                 out["conv_dw_sep"] = {"kr": jnp.asarray(kr, dt),
                                       "kc": jnp.asarray(kc, dt)}
                 energies.append(energy)
+                rank_hist[r] = rank_hist.get(r, 0) + 1
             return out
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v) for v in node)
@@ -102,4 +171,7 @@ def add_dw_sep(params: Any, rank: int) -> Tuple[Any, Dict[str, float]]:
                  "energy_min": float(all_e.min())}
     else:
         stats = {"count": 0.0, "energy_mean": 1.0, "energy_min": 1.0}
+    stats["blocks_sep"] = float(sum(rank_hist.values()))
+    stats["blocks_exact"] = float(blocks_exact)
+    stats["rank_hist"] = {int(k): int(v) for k, v in sorted(rank_hist.items())}
     return tree, stats

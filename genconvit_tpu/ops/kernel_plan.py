@@ -64,6 +64,11 @@ class KernelPlan:
                 measured ~2x launch-equivalent on v5e). Inference-only;
                 retained SVD energy of the actual checkpoint is logged at
                 engine prep. Training and parity paths ignore it.
+        "auto:<energy>[:<max_rank>]"  adaptive per-block rank: each block
+                gets the smallest rank whose worst channel retains
+                >= <energy> SVD energy; blocks needing more than
+                <max_rank> (default 3) stay exact. Checkpoint-aware:
+                the same spec gives different rank mixes per weights.
     """
 
     pallas: str = ""
@@ -71,7 +76,7 @@ class KernelPlan:
     mlp_panel_mb: int = 8
     mlp_split: int = 1
     int8_mlp: str = ""
-    dw_rank: int = 0
+    dw_rank: Any = 0  # int rank, or adaptive spec str "auto:<energy>[:<max>]"
 
     @staticmethod
     def from_env() -> "KernelPlan":
@@ -104,7 +109,16 @@ class KernelPlan:
             raw = os.environ["GENCONVIT_INT8_MLP"]
             fields["int8_mlp"] = {"0": "", "": "", "1": "full"}.get(raw, raw)
         if "GENCONVIT_DW_RANK" in os.environ:
-            fields["dw_rank"] = int(os.environ["GENCONVIT_DW_RANK"] or 0)
+            raw = os.environ["GENCONVIT_DW_RANK"] or "0"
+            if raw.startswith("auto"):
+                # validate eagerly so a typo fails at construction, not
+                # deep inside engine init
+                from genconvit_tpu.ops.dwsep import parse_rank_spec
+
+                parse_rank_spec(raw)
+                fields["dw_rank"] = raw
+            else:
+                fields["dw_rank"] = int(raw)
         return dataclasses.replace(base, **fields) if fields else base
 
     @staticmethod

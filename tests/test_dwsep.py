@@ -140,6 +140,22 @@ class TestEngine:
         label, pred = p.predict_faces(faces, num_frames=5)
         assert label in (0, 1) and np.isfinite(pred)
 
+    def test_refuses_exact_pallas_ab_variants(self):
+        """The 'stage'/'1' A/B kernels read conv_dw.kernel directly and
+        would silently ignore separable factors — the engine must refuse
+        the combination instead of logging APPROXIMATE while running
+        exact (ADVICE r3)."""
+        from genconvit_tpu.infer.engine import Predictor
+
+        cfg = Config()
+        cfg.img_size = 64
+        cfg.model.latent_dims = cfg.derived_latent_dims()
+        cfg.weight_dir = "/nonexistent"
+        for pallas in ("stage", "1"):
+            with pytest.raises(ValueError, match="not supported"):
+                Predictor(cfg, net="ed", face_backend="fullframe", seed=0,
+                          kernel_plan=KernelPlan(dw_rank=1, pallas=pallas))
+
     def test_plan_env_and_file_roundtrip(self, monkeypatch, tmp_path):
         monkeypatch.setenv("GENCONVIT_DW_RANK", "2")
         assert KernelPlan.from_env().dw_rank == 2
@@ -150,3 +166,82 @@ class TestEngine:
         f = tmp_path / "plan.json"
         save_plan(KernelPlan(dw_rank=1), str(f))
         assert KernelPlan.load(str(f)).dw_rank == 1
+        monkeypatch.setenv("GENCONVIT_DW_RANK", "auto:0.9:2")
+        assert KernelPlan.from_env().dw_rank == "auto:0.9:2"
+        monkeypatch.setenv("GENCONVIT_DW_RANK", "auto:bogus")
+        with pytest.raises(ValueError):
+            KernelPlan.from_env()
+
+
+class TestAutoRank:
+    def test_parse_rank_spec(self):
+        from genconvit_tpu.ops.dwsep import parse_rank_spec
+
+        assert parse_rank_spec(2) == ("fixed", 0.0, 2)
+        assert parse_rank_spec("3") == ("fixed", 0.0, 3)
+        assert parse_rank_spec("auto:0.9") == ("auto", 0.9, 3)
+        assert parse_rank_spec("auto:0.85:2") == ("auto", 0.85, 2)
+        for bad in ("auto", "auto:1.5", "auto:0", "auto:0.9:0", "auto:a:b"):
+            with pytest.raises(ValueError):
+                parse_rank_spec(bad)
+
+    def test_required_block_rank(self, rng):
+        from genconvit_tpu.ops.dwsep import required_block_rank
+
+        # an exactly-separable kernel needs rank 1 at any bar
+        u = rng.standard_normal((7, 1, 1, 4))
+        v = rng.standard_normal((1, 7, 1, 4))
+        assert required_block_rank(jnp.asarray(u * v, jnp.float32), 0.999) == 1
+        # a full-rank random kernel needs rank 7 at bar 1.0
+        k = jnp.asarray(rng.standard_normal((7, 7, 1, 4)), jnp.float32)
+        assert required_block_rank(k, 1.0) == 7
+        # monotone in the bar
+        r_lo = required_block_rank(k, 0.5)
+        r_hi = required_block_rank(k, 0.95)
+        assert 1 <= r_lo <= r_hi <= 7
+
+    def test_auto_mixes_sep_and_exact_blocks(self, rng):
+        """A tree with one separable block and one full-rank-random block:
+        auto with a high bar and max_rank 2 factorizes the first and leaves
+        the second exact; dispatch presence reflects the decision."""
+        sep_blk = _rand_block(rng, 4)
+        u = rng.standard_normal((7, 1, 1, 4))
+        v = rng.standard_normal((1, 7, 1, 4))
+        sep_blk["conv_dw"]["kernel"] = jnp.asarray(u * v, jnp.float32)
+        hard_blk = _rand_block(rng, 4)  # random 7x7: needs rank ~6-7 at 0.99
+        tree, stats = add_dw_sep({"blocks": [sep_blk, hard_blk]},
+                                 "auto:0.99:2")
+        assert "conv_dw_sep" in tree["blocks"][0]
+        assert "conv_dw_sep" not in tree["blocks"][1]
+        assert stats["blocks_sep"] == 1.0 and stats["blocks_exact"] == 1.0
+        assert stats["rank_hist"] == {1: 1}
+        assert stats["energy_min"] > 0.99 - 1e-6
+        # the factorized block's rank matches the hist
+        assert tree["blocks"][0]["conv_dw_sep"]["kr"].shape[0] == 1
+
+    def test_auto_full_bar_reconstructs_exactly(self, rng):
+        """auto:1.0:7 must reproduce the exact conv on every block (rank-7
+        reconstruction) — the end-to-end safety rail for the adaptive path."""
+        blk = _rand_block(rng, 8)
+        x = jnp.asarray(rng.standard_normal((2, 14, 14, 8)), jnp.float32)
+        exact = cnx._dw_conv(blk, x, 8)
+        tree, stats = add_dw_sep({"blocks": [blk]}, "auto:1.0:7")
+        assert stats["rank_hist"] == {7: 1}
+        approx = cnx._dw_conv(tree["blocks"][0], x, 8)
+        np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                                   rtol=0, atol=2e-4)
+
+    def test_engine_auto_end_to_end(self):
+        from genconvit_tpu.infer.engine import Predictor
+
+        cfg = Config()
+        cfg.img_size = 64
+        cfg.model.latent_dims = cfg.derived_latent_dims()
+        cfg.weight_dir = "/nonexistent"
+        p = Predictor(cfg, net="ed", face_backend="fullframe", seed=0,
+                      kernel_plan=KernelPlan(dw_rank="auto:0.6:2"))
+        assert p.dw_sep_stats["blocks_sep"] + p.dw_sep_stats["blocks_exact"] == 18
+        faces = np.random.default_rng(0).integers(
+            0, 255, (5, 64, 64, 3), dtype=np.uint8)
+        label, pred = p.predict_faces(faces, num_frames=5)
+        assert label in (0, 1) and np.isfinite(pred)

@@ -37,7 +37,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rank", type=int, default=1)
+    ap.add_argument("--rank", default="1",
+                    help="integer rank, or adaptive 'auto:<energy>[:<max>]'")
     ap.add_argument("--frames", type=int, default=15)
     ap.add_argument("--dir", default="/root/reference/sample_prediction_data")
     ap.add_argument("--net", default="genconvit")
@@ -56,7 +57,12 @@ def main():
         return 1
 
     cfg = Config()
-    base = KernelPlan.from_env()
+    # Force the EXACT baseline regardless of env: with GENCONVIT_DW_RANK
+    # exported (the likely state when evaluating this mode) an inherited
+    # from_env() plan would attach separable factors at engine init and
+    # this tool would compare rank-R against rank-R — a vacuous 0-delta.
+    import dataclasses
+    base = dataclasses.replace(KernelPlan.from_env(), dw_rank=0)
     # ONE predictor; the exact and rank-R param trees share every leaf except
     # the attached factors, and the engine's jit re-keys on tree structure —
     # so both paths see identical crops, dtype, and per-video sampling keys.
@@ -65,9 +71,12 @@ def main():
                      kernel_plan=base)
     from genconvit_tpu.ops.dwsep import add_dw_sep
 
+    rank = args.rank if args.rank.startswith("auto") else int(args.rank)
     params_exact = pred.params
-    params_sep, stats = add_dw_sep(params_exact, args.rank)
-    print(f"rank={args.rank}: {int(stats['count'])} filter-channels, "
+    params_sep, stats = add_dw_sep(params_exact, rank)
+    print(f"rank={rank}: {int(stats['count'])} filter-channels across "
+          f"{int(stats['blocks_sep'])} blocks (rank mix {stats['rank_hist']}, "
+          f"{int(stats['blocks_exact'])} exact), "
           f"retained energy mean {stats['energy_mean']:.4f} "
           f"min {stats['energy_min']:.4f}", file=sys.stderr)
 
@@ -94,6 +103,8 @@ def main():
         "rank": args.rank,
         "net": args.net,
         "videos": len(rows),
+        "rank_hist": stats["rank_hist"],
+        "blocks_exact": int(stats["blocks_exact"]),
         "energy_mean": round(stats["energy_mean"], 4),
         "max_abs_prob_delta": round(max(deltas), 5),
         "mean_abs_prob_delta": round(float(np.mean(deltas)), 5),
