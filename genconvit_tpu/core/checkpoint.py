@@ -100,9 +100,17 @@ def load_params(path: str, which: Optional[str] = None) -> Tuple[Any, Dict[str, 
         params = convert_checkpoint(path, which=which)
         return params, {"source": "torch", "path": path}
     payload = load_checkpoint(path)
-    return payload["params"], {"source": "native", "path": path,
-                               "epoch": payload.get("epoch"),
-                               "min_loss": payload.get("min_loss")}
+    params = payload["params"]
+    if (which and isinstance(params, dict) and which in params
+            and set(params) <= {"ed", "vae"}):
+        # train_model saves the full tree nested under its branch key(s)
+        # ({"ed": ...} / {"vae": ...} / both for joint training); the engine
+        # asks for one branch — unwrap so a trained .gcv drops into the
+        # same slot a converted reference .pth does.
+        params = params[which]
+    return params, {"source": "native", "path": path,
+                    "epoch": payload.get("epoch"),
+                    "min_loss": payload.get("min_loss")}
 
 
 def resolve_weight(weight_dir: str, name: str) -> Optional[str]:

@@ -5,6 +5,12 @@ reference's exact label rules (ref prediction.py:12-228).
 Quirk B8 preserved: the timit walker labels everything FAKE (it only walks the
 higher_quality/lower_quality manipulated dirs). Per-video failures are
 tolerated and logged, matching the reference's try/except-and-continue.
+
+v2_labels=True switches the walkers whose v2-CLI label rules DIFFER from
+v1's to the v2 heuristics (flat-dir filename-'fake' — ref
+prediction_v2.py:68; DFDC '_0.mp4' suffix — ref :185; timit real dirs —
+ref :223-232); prediction_v2.py passes it so its metrics block populates
+exactly where the reference v2's does.
 """
 
 from __future__ import annotations
@@ -82,18 +88,29 @@ def _predict_all(predictor: Predictor, items: List[Tuple[str, str, str, Optional
 
 
 def vids(predictor: Predictor, root_dir: str, num_frames: int = 15,
-         workers: int = 8) -> WalkState:
+         workers: int = 8, v2_labels: bool = False) -> WalkState:
     """Flat directory of videos (ref prediction.py:12-47). Subdirectories of
     pre-extracted frame images are scored too (one "video" per subdir) —
     covering the reference's frame-folder workaround
-    (ref predicition_video_format_error.py:16-23)."""
+    (ref predicition_video_format_error.py:16-23).
+
+    v2_labels: the v2 CLI's ground-truth heuristic — a filename containing
+    'fake' (case-insensitive) is labeled FAKE, everything else REAL
+    (ref prediction_v2.py:68), which populates the metrics block on flat
+    sample dirs where the v1 walker has no labels."""
+
+    def gt(name: str) -> str:
+        if not v2_labels:
+            return "unknown"
+        return "FAKE" if "fake" in name.lower() else "REAL"
+
     state = WalkState()
     items = []
     frame_dirs = []
     for filename in sorted(os.listdir(root_dir)):
         p = os.path.join(root_dir, filename)
         if is_video(p):
-            items.append((p, "uncategorized", "unknown", None))
+            items.append((p, "uncategorized", gt(filename), None))
         elif os.path.isdir(p) and any(
                 f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
                 for f in os.listdir(p)):
@@ -107,17 +124,23 @@ def vids(predictor: Predictor, root_dir: str, num_frames: int = 15,
         except Exception as e:  # per-video tolerance
             log.error("error on %s: %s", p, e)
             verdict = None
-        state.record(p, verdict, "uncategorized")
+        # frame dirs are this framework's extension (no reference analog);
+        # under v2 labels the same filename heuristic applies to the dir name
+        state.record(p, verdict, "uncategorized", gt(os.path.basename(p)))
     return state
 
 
 def faceforensics(predictor: Predictor, root_dir: str, num_frames: int = 15,
                   json_dir: str = "json_file", workers: int = 8,
-                  include_faceshifter: bool = False) -> WalkState:
+                  include_faceshifter: bool = False,
+                  v2_labels: bool = False) -> WalkState:
     """FF++ (ref prediction.py:50-104): only files listed in
     ff_file_list.json; klass from the manipulation dir; c23/c40 from path.
     include_faceshifter adds the FaceShifter manipulation dir (the
-    reference's separate prediction_chirag_ff.py:38 covers it)."""
+    reference's separate prediction_chirag_ff.py:38 covers it).
+    v2_labels is a no-op here: the v2 CLI's FF++ label rule is identical
+    (klass from the manipulation dir — ref prediction_v2.py:126-131)."""
+    del v2_labels
     ffdirs = ["DeepFakeDetection", "Deepfakes", "Face2Face", "FaceSwap",
               "NeuralTextures"]
     if include_faceshifter:
@@ -143,10 +166,29 @@ def faceforensics(predictor: Predictor, root_dir: str, num_frames: int = 15,
 
 
 def timit(predictor: Predictor, root_dir: str, num_frames: int = 15,
-          workers: int = 8) -> WalkState:
-    """DeepfakeTIMIT (ref prediction.py:107-143). Labels everything FAKE (B8)."""
+          workers: int = 8, v2_labels: bool = False) -> WalkState:
+    """DeepfakeTIMIT (ref prediction.py:107-143). Labels everything FAKE (B8).
+
+    v2_labels: the v2 CLI's walk instead (ref prediction_v2.py:217-264):
+    os.walk the WHOLE tree for .mp4 files; any path under a
+    'lower_quality'/'higher_quality' component is klass low_quality/
+    high_quality (FAKE), everything else klass 'real' (REAL) — this is how
+    real TIMIT videos enter the published results despite quirk B8."""
     state = WalkState()
     items = []
+    if v2_labels:
+        for dirpath, _, filenames in sorted(os.walk(root_dir)):
+            parts = dirpath.split(os.path.sep)
+            klass = ("low_quality" if "lower_quality" in parts
+                     else "high_quality" if "higher_quality" in parts
+                     else "real")
+            label = "REAL" if klass == "real" else "FAKE"
+            for filename in sorted(filenames):
+                if filename.endswith(".mp4"):
+                    p = os.path.join(dirpath, filename)
+                    if is_video(p):
+                        items.append((p, klass, label, None))
+        return _predict_all(predictor, items, num_frames, state, workers)
     for keyword in ["higher_quality", "lower_quality"]:
         kdir = os.path.join(root_dir, keyword)
         if not os.path.isdir(kdir):
@@ -164,30 +206,43 @@ def timit(predictor: Predictor, root_dir: str, num_frames: int = 15,
 
 
 def dfdc(predictor: Predictor, root_dir: str, num_frames: int = 15,
-         json_dir: str = "json_file", workers: int = 8) -> WalkState:
+         json_dir: str = "json_file", workers: int = 8,
+         v2_labels: bool = False) -> WalkState:
     """DFDC (ref prediction.py:146-189): file list from dfdc_files.json,
-    labels from the dataset's metadata.json."""
+    labels from the dataset's metadata.json.
+
+    v2_labels: the v2 CLI labels from the FILENAME instead — a '_0.mp4'
+    suffix is REAL, everything else FAKE (ref prediction_v2.py:185) — so
+    the metrics block populates without a metadata.json present."""
     with open(os.path.join(json_dir, "dfdc_files.json")) as f:
         dfdc_data = json.load(f)
-    meta_path = os.path.join(root_dir, "metadata.json")
     dfdc_meta: Dict[str, Any] = {}
-    if os.path.isfile(meta_path):
-        with open(meta_path) as f:
-            dfdc_meta = json.load(f)
+    if not v2_labels:
+        meta_path = os.path.join(root_dir, "metadata.json")
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                dfdc_meta = json.load(f)
     state = WalkState()
     items = []
     for name in dfdc_data:
         p = os.path.join(root_dir, name)
         if is_video(p):
-            label = dfdc_meta.get(name, {}).get("label", "unknown")
+            if v2_labels:
+                label = "REAL" if name.endswith("_0.mp4") else "FAKE"
+            else:
+                label = dfdc_meta.get(name, {}).get("label", "unknown")
             items.append((p, "dfdc", label, None))
     return _predict_all(predictor, items, num_frames, state, workers)
 
 
 def celeb(predictor: Predictor, root_dir: str, num_frames: int = 15,
-          json_dir: str = "json_file", workers: int = 8) -> WalkState:
+          json_dir: str = "json_file", workers: int = 8,
+          v2_labels: bool = False) -> WalkState:
     """Celeb-DF v2 (ref prediction.py:192-228): list from celeb_test.json,
-    class from the path prefix (Celeb-synthesis => FAKE)."""
+    class from the path prefix (Celeb-synthesis => FAKE). v2_labels is a
+    no-op: the v2 CLI's Celeb label rule is identical
+    (ref prediction_v2.py:288)."""
+    del v2_labels
     with open(os.path.join(json_dir, "celeb_test.json")) as f:
         cfl = json.load(f)
     state = WalkState()

@@ -9,6 +9,15 @@ architecture is behaviorally identical to the original (its SwiGLU module is
 never instantiated — SURVEY.md §8 B12), so both arch types run the same
 graph here. --use-attention/--use-residual are accepted and ignored, exactly
 as in the reference (ref prediction_v2.py:382-387).
+
+Ground-truth: the v2 CLI's own label heuristics (v2_labels=True in
+infer/walkers.py) — flat dirs by filename-contains-'fake'
+(ref prediction_v2.py:68), DFDC by the '_0.mp4' suffix (ref :185), timit
+walking real dirs too (ref :223-232). Documented deviation: the reference
+embeds the metrics block only for vids/dfdc/faceforensics and merely PRINTS
+metrics for timit/celeb (ref :258-265,308-315); this CLI embeds the same
+metrics for every dataset (a superset — offline consumers that ignore the
+block are unaffected).
 """
 
 import argparse
@@ -63,14 +72,22 @@ def main():
                           face_backend=args.face_backend,
                           transfer_format=args.transfer_format)
 
+    # v2_labels: the v2 CLI carries its OWN ground-truth heuristics —
+    # flat dirs label by filename-contains-'fake' (ref prediction_v2.py:68),
+    # DFDC by the '_0.mp4' suffix (ref :185), timit walks real dirs too
+    # (ref :223-232) — so the metrics block populates where the reference's
+    # does (v1 leaves those unlabeled).
     dataset = args.d if args.d in WALKERS else "other"
     if dataset == "other":
-        state = vids(predictor, args.p, args.f, workers=args.workers)
+        state = vids(predictor, args.p, args.f, workers=args.workers,
+                     v2_labels=True)
     elif dataset == "timit":
-        state = WALKERS[dataset](predictor, args.p, args.f, workers=args.workers)
+        state = WALKERS[dataset](predictor, args.p, args.f,
+                                 workers=args.workers, v2_labels=True)
     else:
         state = WALKERS[dataset](predictor, args.p, args.f,
-                                 json_dir=args.json_dir, workers=args.workers)
+                                 json_dir=args.json_dir, workers=args.workers,
+                                 v2_labels=True)
 
     runtime = time.perf_counter() - start
     attach_metrics(state.result, state.y_true, state.y_pred)

@@ -64,6 +64,31 @@ def test_load_params_native(small_params, tmp_path):
     _trees_equal(params, small_params)
 
 
+def test_load_params_native_unwraps_trained_branch(tmp_path):
+    """train_model saves {"ed": tree} / {"vae": tree}; the engine loads one
+    branch via load_params(..., which=branch) and must get the INNER tree
+    (double-nesting here made trained .gcv checkpoints unloadable by the
+    Predictor)."""
+    import numpy as np
+
+    ed_tree = {"backbone": {"w": np.ones((2, 2), np.float32)}}
+    path = str(tmp_path / "genconvit_ed_best.gcv")
+    save_checkpoint(path, {"ed": ed_tree}, epoch=3)
+    params, meta = load_params(path, which="ed")
+    assert set(params) == {"backbone"}
+    # joint checkpoints unwrap per branch too
+    path2 = str(tmp_path / "joint.gcv")
+    save_checkpoint(path2, {"ed": ed_tree, "vae": {"z": np.zeros(2)}}, epoch=1)
+    p_ed, _ = load_params(path2, which="ed")
+    p_vae, _ = load_params(path2, which="vae")
+    assert set(p_ed) == {"backbone"} and set(p_vae) == {"z"}
+    # a tree that is NOT branch-nested passes through unchanged
+    path3 = str(tmp_path / "bare.gcv")
+    save_checkpoint(path3, ed_tree, epoch=1)
+    p_bare, _ = load_params(path3, which="ed")
+    assert set(p_bare) == {"backbone"}
+
+
 def test_resolve_weight_extension_order(tmp_path):
     (tmp_path / "m.gcv").write_bytes(b"x")
     (tmp_path / "m.pth").write_bytes(b"x")

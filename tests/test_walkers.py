@@ -113,3 +113,77 @@ def test_fault_injection_resilience(tmp_path, predictor, monkeypatch):
     state = walkers.vids(predictor, str(root), 3, workers=2)
     assert state.count == 4
     assert state.result["video"]["pred"] == [0.5] * 4
+
+
+class TestV2Labels:
+    """The v2 CLI's OWN ground-truth heuristics (prediction_v2.py passes
+    v2_labels=True) vs the v1 rules — ref prediction_v2.py:68,185,217-264."""
+
+    def test_vids_v2_filename_fake_heuristic(self, tmp_path, predictor):
+        root = tmp_path / "flat"
+        for n in ["0017_fake.mp4", "sample_2.mp4", "MyFAKE_clip.mp4"]:
+            _write_video(str(root / n))
+        # v1: no labels -> empty metric vectors
+        s1 = walkers.vids(predictor, str(root), 3, workers=2)
+        assert s1.y_true == [] and not s1.has_labels
+        assert set(s1.result["video"]["correct_label"]) == {"unknown"}
+        # v2: filename-contains-'fake' (case-insensitive) labels populate
+        s2 = walkers.vids(predictor, str(root), 3, workers=2, v2_labels=True)
+        assert s2.has_labels and len(s2.y_true) == 3
+        by_name = dict(zip(s2.result["video"]["name"],
+                           s2.result["video"]["correct_label"]))
+        assert by_name["0017_fake.mp4"] == "FAKE"
+        assert by_name["MyFAKE_clip.mp4"] == "FAKE"
+        assert by_name["sample_2.mp4"] == "REAL"
+
+    def test_dfdc_v2_suffix_heuristic(self, tmp_path, predictor):
+        root = tmp_path / "dfdc"
+        names = ["abc_0.mp4", "abc_1.mp4"]
+        for n in names:
+            _write_video(str(root / n))
+        jdir = tmp_path / "json"
+        jdir.mkdir()
+        (jdir / "dfdc_files.json").write_text(json.dumps(names))
+        # v1 without metadata.json: unlabeled
+        s1 = walkers.dfdc(predictor, str(root), 3, json_dir=str(jdir), workers=2)
+        assert set(s1.result["video"]["correct_label"]) == {"unknown"}
+        # v2: '_0.mp4' suffix is REAL, everything else FAKE — no metadata read
+        s2 = walkers.dfdc(predictor, str(root), 3, json_dir=str(jdir),
+                          workers=2, v2_labels=True)
+        by_name = dict(zip(s2.result["video"]["name"],
+                           s2.result["video"]["correct_label"]))
+        assert by_name == {"abc_0.mp4": "REAL", "abc_1.mp4": "FAKE"}
+        assert len(s2.y_true) == 2
+
+    def test_dfdc_v2_ignores_contradicting_metadata(self, tmp_path, predictor):
+        """v2 labels from the suffix even when metadata.json disagrees —
+        the reference v2 never opens metadata.json."""
+        root = tmp_path / "dfdc"
+        _write_video(str(root / "xyz_0.mp4"))
+        (root / "metadata.json").write_text(
+            json.dumps({"xyz_0.mp4": {"label": "FAKE"}}))
+        jdir = tmp_path / "json"
+        jdir.mkdir()
+        (jdir / "dfdc_files.json").write_text(json.dumps(["xyz_0.mp4"]))
+        s2 = walkers.dfdc(predictor, str(root), 3, json_dir=str(jdir),
+                          workers=2, v2_labels=True)
+        assert s2.result["video"]["correct_label"] == ["REAL"]
+
+    def test_timit_v2_walks_real_dirs(self, tmp_path, predictor):
+        root = tmp_path / "timit"
+        _write_video(str(root / "higher_quality" / "spk1" / "a.mp4"))
+        _write_video(str(root / "lower_quality" / "spk1" / "b.mp4"))
+        _write_video(str(root / "vidtimit" / "spk1" / "c.mp4"))
+        # v1: only hq/lq, .avi only -> these .mp4 trees produce nothing
+        s1 = walkers.timit(predictor, str(root), 3, workers=2)
+        assert s1.count == 0
+        # v2: walks everything, .mp4, labels real dirs REAL
+        s2 = walkers.timit(predictor, str(root), 3, workers=2, v2_labels=True)
+        assert s2.count == 3
+        by_name = dict(zip(s2.result["video"]["name"],
+                           s2.result["video"]["correct_label"]))
+        assert by_name == {"a.mp4": "FAKE", "b.mp4": "FAKE", "c.mp4": "REAL"}
+        by_klass = dict(zip(s2.result["video"]["name"],
+                            s2.result["video"]["klass"]))
+        assert by_klass == {"a.mp4": "high_quality", "b.mp4": "low_quality",
+                            "c.mp4": "real"}
