@@ -376,3 +376,134 @@ def convert_checkpoint(path_or_obj: Any, which: Optional[str] = None,
                 f"not consumed — layout mismatch or new parameter group: "
                 f"{shown}{more}")
     return params
+
+
+# ---------------------------------------------------------------- manifest
+# Weights-run pre-flight (VERDICT r3 item 5): the torch-side recorder emits
+# a key/shape/dtype manifest of the real checkpoints
+# (tools/record_reference_torch.py --manifest — needs only torch, not timm);
+# preflight_manifest() then dry-runs the FULL strict conversion against a
+# zeros state dict rebuilt from that manifest, so any timm-0.6.5 naming or
+# shape drift is pinpointed in seconds, offline, without shipping the
+# multi-GB weights (ref risk: SURVEY.md §7.3-1).
+
+def manifest_from_state_dict(sd: Mapping[str, Any]) -> Dict[str, Dict[str, Any]]:
+    """{key: {"shape": [...], "dtype": "float32"}} for a state dict of
+    torch tensors or numpy arrays (dtype normalized, 'torch.' stripped)."""
+    out = {}
+    for k, v in sd.items():
+        dt = str(getattr(v, "dtype", "float32"))
+        if dt.startswith("torch."):
+            dt = dt[len("torch."):]
+        out[k] = {"shape": [int(s) for s in getattr(v, "shape", ())],
+                  "dtype": dt}
+    return out
+
+
+def state_dict_from_manifest(manifest: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Zeros state dict with the manifest's shapes/dtypes (torch dtype names
+    map onto numpy's; unknown names fall back to float32)."""
+    alias = {"float": "float32", "double": "float64", "half": "float16",
+             "long": "int64", "int": "int32", "bfloat16": "float32"}
+    sd = {}
+    for k, spec in manifest.items():
+        dt = alias.get(spec.get("dtype", "float32"), spec.get("dtype"))
+        try:
+            dtype = np.dtype(dt)
+        except TypeError:
+            dtype = np.float32
+        sd[k] = np.zeros(tuple(spec.get("shape", ())), dtype)
+    return sd
+
+
+def _leaf_shapes(tree: Any, prefix: str = "") -> Dict[str, tuple]:
+    """{'/'-joined path: shape} over a nested dict/list param tree (works
+    for arrays and jax.eval_shape ShapeDtypeStructs alike)."""
+    out: Dict[str, tuple] = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            out.update(_leaf_shapes(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_leaf_shapes(v, f"{prefix}{i}/"))
+    elif tree is not None:
+        out[prefix.rstrip("/")] = tuple(getattr(tree, "shape", ()))
+    return out
+
+
+def preflight_manifest(manifest: Mapping[str, Any],
+                       which: Optional[str] = None,
+                       carry_dead_params: bool = True,
+                       expected: Any = None) -> Dict[str, Any]:
+    """Dry-run the strict converter against a manifest (no weights needed).
+
+    Returns {"ok", "branch", "keys", "error", "unused", "suggestions",
+    "shape_mismatches"}:
+      ok=False + error  — the converter failed (first missing key / bad
+                          shape), with close-match suggestions from the
+                          manifest's actual keys (names the drift);
+      ok=False + unused — conversion ran but strict accounting found
+                          checkpoint keys the converter never consumed
+                          (new/renamed parameter groups);
+      ok=False + shape_mismatches — conversion consumed everything but the
+                          resulting tree's leaf shapes differ from
+                          `expected` (a param tree or jax.eval_shape of the
+                          target-config init — catches dimension drift the
+                          shape-agnostic transposes pass through);
+      ok=True           — the real conversion will consume this checkpoint
+                          layout completely (and match `expected` if given).
+    """
+    import difflib
+
+    sd = state_dict_from_manifest(manifest)
+    report: Dict[str, Any] = {"ok": False, "keys": len(sd),
+                              "error": None, "unused": [], "suggestions": {},
+                              "shape_mismatches": []}
+    try:
+        report["branch"] = which or detect_branch(sd)
+        params = convert_checkpoint(sd, which=report["branch"],
+                                    carry_dead_params=carry_dead_params,
+                                    strict=True)
+        if expected is not None:
+            exp, got = _leaf_shapes(expected), _leaf_shapes(params)
+            report["shape_mismatches"] = (
+                [f"{p}: checkpoint {got[p]} vs expected {exp[p]}"
+                 for p in sorted(set(exp) & set(got)) if exp[p] != got[p]]
+                + [f"{p}: missing from checkpoint (expected {exp[p]})"
+                   for p in sorted(set(exp) - set(got))]
+                + [f"{p}: not in the expected tree (checkpoint {got[p]})"
+                   for p in sorted(set(got) - set(exp))])
+            if report["shape_mismatches"]:
+                report["error"] = (
+                    f"{len(report['shape_mismatches'])} leaf shape/structure "
+                    f"mismatch(es) vs the expected init tree")
+                return report
+        report["ok"] = True
+    except ValueError as e:  # strict-unused (or unknown branch)
+        msg = str(e)
+        report["error"] = msg
+        if "not consumed" in msg:
+            # recover the machine-readable list by re-running non-strict
+            # with tracking
+            tracked = _TrackingDict(sd)
+            try:
+                if report["branch"] == "ed":
+                    convert_ed(tracked, carry_dead_params)
+                elif report["branch"] == "vae":
+                    convert_vae(tracked, carry_dead_params)
+                else:
+                    convert_vae_updated(tracked, carry_dead_params)
+                report["unused"] = sorted(
+                    k for k in sd if k not in tracked.used
+                    and not _EXPECTED_UNCONSUMED.match(k))
+            except Exception:
+                pass
+    except KeyError as e:  # converter asked for a key the manifest lacks
+        missing = str(e).strip("'\"")
+        report["error"] = f"converter expects missing key: {missing}"
+        close = difflib.get_close_matches(missing, list(sd), n=3, cutoff=0.6)
+        if close:
+            report["suggestions"][missing] = close
+    except Exception as e:  # shape/transpose failure etc.
+        report["error"] = f"{type(e).__name__}: {e}"
+    return report

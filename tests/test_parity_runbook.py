@@ -159,3 +159,99 @@ def test_runbook_round_trip(ref_shim, tmp_path, rng, monkeypatch):
             a=str(out_dir / "acts_torch_ed.npz"),
             b=str(tmp_path / "acts_bad.npz"), rtol=1e-3, atol=1e-3))
     assert e.value.code == 1
+
+
+def test_manifest_preflight_round_trip(ref_shim, tmp_path):
+    """VERDICT r3 item 5: recorder --manifest -> preflight_manifest must
+    round-trip OK on a consumable layout, and pinpoint (a) renamed keys with
+    close-match suggestions, (b) unconsumed extra keys, (c) shape drift."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import record_reference_torch as rrt
+    finally:
+        sys.path.remove(os.path.join(REPO, "tools"))
+    from genconvit_tpu.core.convert import preflight_manifest
+
+    out_dir = tmp_path / "parity"
+    out_dir.mkdir()
+    rrt.record_manifests(ref_shim, str(out_dir))
+    for which in ("ed", "vae"):
+        mf_path = out_dir / f"manifest_{which}.json"
+        assert mf_path.is_file()
+        manifest = json.loads(mf_path.read_text())
+        assert all("shape" in v and "dtype" in v for v in manifest.values())
+
+        report = preflight_manifest(manifest)
+        assert report["ok"], f"{which}: {report}"
+        assert report["branch"] == which
+        assert report["keys"] == len(manifest)
+
+    manifest = json.loads((out_dir / "manifest_ed.json").read_text())
+
+    # (a) a renamed key (naming drift): converter misses it -> suggestion
+    drifted = dict(manifest)
+    val = drifted.pop("fc.weight")
+    drifted["fc.linear.weight"] = val
+    report = preflight_manifest(drifted, which="ed")
+    assert not report["ok"]
+    assert "fc.weight" in report["error"]
+    assert "fc.linear.weight" in report["suggestions"].get("fc.weight", [])
+
+    # (b) an extra key (new parameter group): strict-unused names it
+    extra = dict(manifest)
+    extra["backbone.novel_branch.weight"] = {"shape": [4, 4], "dtype": "float32"}
+    report = preflight_manifest(extra, which="ed")
+    assert not report["ok"]
+    assert "backbone.novel_branch.weight" in report["unused"]
+
+    # (c) shape drift vs an expected tree (the transposes themselves are
+    # shape-agnostic, so this check needs the init-tree expectation —
+    # convert_weights.py --preflight --expect-init builds it from
+    # jax.eval_shape of the target config)
+    from genconvit_tpu.core.convert import (convert_checkpoint,
+                                            state_dict_from_manifest)
+
+    expected_tree = convert_checkpoint(state_dict_from_manifest(manifest),
+                                       which="ed")
+    bad_shape = dict(manifest)
+    bad_shape["fc.weight"] = {"shape": [7, 3], "dtype": "float32"}
+    report = preflight_manifest(bad_shape, which="ed", expected=expected_tree)
+    assert not report["ok"] and report["error"]
+    assert any("fc" in m for m in report["shape_mismatches"])
+    # and the clean manifest passes the same expectation
+    report = preflight_manifest(manifest, which="ed", expected=expected_tree)
+    assert report["ok"], report
+
+
+def test_preflight_cli(ref_shim, tmp_path):
+    """convert_weights.py --preflight exits 0 on a clean manifest, 1 on
+    drift — the shape of the first weights-enabled run's first command."""
+    import subprocess
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import record_reference_torch as rrt
+    finally:
+        sys.path.remove(os.path.join(REPO, "tools"))
+    out_dir = tmp_path / "parity"
+    out_dir.mkdir()
+    rrt.record_manifests(ref_shim, str(out_dir))
+
+    env = dict(os.environ, GENCONVIT_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "convert_weights.py"),
+         "--preflight", str(out_dir / "manifest_vae.json")],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PREFLIGHT OK" in r.stdout
+
+    mf = json.loads((out_dir / "manifest_vae.json").read_text())
+    mf["encoder.mu.weight"], mf["encoder.mystery.weight"] = (
+        None, mf.pop("encoder.mu.weight"))
+    del mf["encoder.mu.weight"]
+    (out_dir / "drifted.json").write_text(json.dumps(mf))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "convert_weights.py"),
+         "--preflight", str(out_dir / "drifted.json")],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 1, r.stdout + r.stderr

@@ -15,6 +15,12 @@ Outputs:
      {"<video basename>": [[[t,r,b,l], ...] per frame]} — reproduces the
      reference's BGR-input quirk (B6) and frame stepping exactly
      (ref model/pred_func.py:67-92,138-143).
+  3. manifest_{ed,vae}.json — key/shape/dtype manifests of the loaded
+     checkpoints (--manifest; needs only torch, NOT timm/the model code —
+     the weights-run PRE-FLIGHT artifact: ship these tiny JSONs back and
+     `convert_weights.py --preflight manifest_ed.json` dry-runs the full
+     strict conversion offline, pinpointing any timm-0.6.5 naming drift
+     before the real weights ever move).
 
 Usage (from the reference repo root, weights in weight/):
   python record_reference_torch.py --ref /path/to/GenConViT \
@@ -99,6 +105,39 @@ def record_activations(ref_root, input_path, out_dir):
     print(f"activations -> {out_dir}/acts_torch_{{ed,vae}}.npz")
 
 
+def record_manifests(ref_root, out_dir):
+    """Emit manifest_{ed,vae}.json — key/shape/dtype of each checkpoint's
+    state dict. Needs only torch + the .pth files (no timm, no model build),
+    so it works even where the reference models can't be constructed."""
+    import torch
+
+    def manifest(sd):
+        out = {}
+        for k, v in sd.items():
+            dt = str(v.dtype)
+            out[k] = {"shape": [int(s) for s in v.shape],
+                      "dtype": dt[len("torch."):] if dt.startswith("torch.")
+                      else dt}
+        return out
+
+    for which in ("ed", "vae"):
+        path = os.path.join(ref_root, "weight",
+                            f"genconvit_{which}_inference.pth")
+        if not os.path.isfile(path):
+            print(f"manifest: {path} not found, skipping")
+            continue
+        try:  # mmap avoids materializing the multi-GB VAE heads in RAM
+            obj = torch.load(path, map_location="cpu", weights_only=False,
+                             mmap=True)
+        except (TypeError, RuntimeError):  # older torch / non-mmapable zip
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        sd = obj["state_dict"] if isinstance(obj, dict) and "state_dict" in obj else obj
+        out_path = os.path.join(out_dir, f"manifest_{which}.json")
+        with open(out_path, "w") as f:
+            json.dump(manifest(sd), f, indent=0, sort_keys=True)
+        print(f"manifest ({len(sd)} keys) -> {out_path}")
+
+
 def record_boxes(videos_dir, out_path, num_frames):
     """dlib-HOG boxes with the reference's exact quirks: evenly-stepped frame
     subset (ref model/pred_func.py:138-143) and detection on the
@@ -136,17 +175,22 @@ def main():
     p.add_argument("--videos", help="video dir for dlib box recording")
     p.add_argument("--f", type=int, default=15)
     p.add_argument("--out-dir", default="parity")
+    p.add_argument("--manifest", action="store_true",
+                   help="emit checkpoint key/shape manifests (pre-flight; "
+                        "needs only torch, not timm)")
     args = p.parse_args()
 
     out_dir = os.path.abspath(args.out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    if args.manifest:
+        record_manifests(os.path.abspath(args.ref), out_dir)
     if args.input:
         record_activations(args.ref, os.path.abspath(args.input), out_dir)
     if args.videos:
         record_boxes(os.path.abspath(args.videos),
                      os.path.join(out_dir, "boxes.json"), args.f)
-    if not args.input and not args.videos:
-        p.error("pass --input and/or --videos")
+    if not args.input and not args.videos and not args.manifest:
+        p.error("pass --input, --videos and/or --manifest")
 
 
 if __name__ == "__main__":
