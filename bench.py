@@ -237,8 +237,10 @@ def main():
                 prev["tunnel_streamed_videos_per_sec"]
             out["tunnel_note"] = prev["tunnel_note"]
         if e2e is not None:
+            out.update({k: prev[k] for k in prev
+                        if k.startswith("e2e_detect_")})  # keep detect phase
             out.update(e2e)
-        elif "e2e_sample_videos_per_sec" in prev:
+        elif any(k.startswith("e2e_") for k in prev):
             out.update({k: prev[k] for k in prev if k.startswith("e2e_")})
         # fields set once via `extra` by an earlier phase (e.g. the V=1
         # latency or dw_rank1 blocks) must survive later refresh() rebuilds
@@ -469,6 +471,59 @@ def main():
             except Exception as e:
                 log(f"e2e phase failed ({type(e).__name__}: {e}); keeping "
                     "earlier phases")
+
+            # ---- e2e with the DEFAULT detector in the loop (VERDICT r3 #2):
+            # the hybrid cascade+jax backend through the grouped driver —
+            # decode thread-pooled, ONE batched jax-detector call per group,
+            # async model launches. This is the production path's number.
+            if (os.environ.get("GENCONVIT_BENCH_E2E_DETECT", "1") == "1"
+                    and deadline_left() > 240):
+                try:
+                    from genconvit_tpu.data.faces import make_detector
+
+                    saved_det = predictor.detector
+                    try:
+                        predictor.detector = make_detector("hybrid")
+                    except Exception as e:
+                        log(f"hybrid unavailable ({e}); measuring jax backend")
+                        predictor.detector = make_detector("jax")
+                    predictor.timers.reset()
+                    t0 = time.perf_counter()  # trial 0 pays detector compile
+                    res = predictor.predict_files(vids, FRAMES, video_batch=8)
+                    log(f"e2e-detect warmup: {time.perf_counter() - t0:.1f}s "
+                        f"(incl. detector compile)")
+                    drates = []
+                    for trial in range(2):
+                        predictor.timers.reset()
+                        t0 = time.perf_counter()
+                        res = predictor.predict_files(vids, FRAMES,
+                                                      video_batch=8)
+                        dt = time.perf_counter() - t0
+                        ok = sum(1 for _, v in res if v is not None)
+                        drates.append(ok / dt)
+                        log(f"e2e-detect trial {trial}: {ok / dt:.2f} "
+                            f"videos/s ({ok}/{len(vids)} videos, {dt:.1f}s)")
+                    summ = predictor.timers.summary()
+                    log(f"e2e-detect stage timers: {summ}")
+                    refresh(extra={
+                        "e2e_detect_videos_per_sec": round(
+                            float(np.median(drates)), 2),
+                        "e2e_detect_stage_s": {
+                            k: summ.get(k, {}).get("total_seconds", 0.0)
+                            for k in ("decode", "detect", "crop",
+                                      "device_forward")},
+                        "e2e_detect_note": (
+                            "default hybrid face detector in the loop "
+                            "(grouped driver: thread-pool decode, one "
+                            "batched jax-detector device call per group, "
+                            "async model launches); single-CPU-core "
+                            "sandbox host — decode+cascade bound"),
+                    })
+                    emit()
+                    predictor.detector = saved_det
+                except Exception as e:
+                    log(f"e2e-detect phase failed ({type(e).__name__}: {e}); "
+                        "keeping earlier phases")
 
     refresh()
     emit()

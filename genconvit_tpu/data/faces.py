@@ -48,6 +48,15 @@ class FaceDetector:
     def detect(self, frames: np.ndarray) -> List[List[Box]]:
         raise NotImplementedError
 
+    def detect_many(self, frames_list: List[np.ndarray]
+                    ) -> List[List[List[Box]]]:
+        """Detect over several videos' frame stacks at once. Device-backed
+        detectors override this to score EVERY video's windows in one
+        batched call (the per-video device round trip dominates grouped
+        inference otherwise); the base implementation is the serial
+        per-video loop with identical results."""
+        return [self.detect(f) for f in frames_list]
+
 
 class FullFrameDetector(FaceDetector):
     def detect(self, frames: np.ndarray) -> List[List[Box]]:
@@ -436,8 +445,22 @@ class HybridFaceDetector(FaceDetector):
         self.fuse_iou = fuse_iou
 
     def detect(self, frames: np.ndarray) -> List[List[Box]]:
-        haar_boxes = self.haar.detect(frames)
-        jax_boxes = self.jax.detect(frames)
+        return self._fuse_video(self.haar.detect(frames),
+                                self.jax.detect(frames))
+
+    def detect_many(self, frames_list: List[np.ndarray]
+                    ) -> List[List[List[Box]]]:
+        """Grouped hybrid: cascades stay per-video host C++ calls; the jax
+        pyramid batches ALL videos into one device call (detect_many);
+        fusion is per frame as in `detect` — identical boxes, fewer device
+        round trips."""
+        haar_all = [self.haar.detect(f) for f in frames_list]
+        jax_all = self.jax.detect_many(frames_list)
+        return [self._fuse_video(hb, jb)
+                for hb, jb in zip(haar_all, jax_all)]
+
+    def _fuse_video(self, haar_boxes: List[List[Box]],
+                    jax_boxes: List[List[Box]]) -> List[List[Box]]:
         out: List[List[Box]] = []
         for hb, jb in zip(haar_boxes, jax_boxes):
             if not hb:
@@ -580,39 +603,69 @@ class JaxFaceDetector(FaceDetector):
         return b
 
     def detect(self, frames: np.ndarray) -> List[List[Box]]:
+        return self.detect_many([frames])[0]
+
+    def detect_many(self, frames_list: List[np.ndarray]
+                    ) -> List[List[List[Box]]]:
+        """All videos' pyramid windows scored in ONE device call (grouped
+        inference would otherwise pay a relay/PCIe round trip per video).
+        Window geometry, crops, scoring and NMS are identical to the
+        per-video path, so the boxes are bitwise the same — only the device
+        batching changes (the bucket padding already absorbs arbitrary
+        crop counts)."""
         import cv2
 
-        h, w = frames.shape[1:3]
-        wins = self._windows(h, w)
-        m = len(frames) * len(wins)
+        per_video = []  # (wins, n_frames, h, w)
+        m = 0
+        for frames in frames_list:
+            h, w = frames.shape[1:3]
+            wins = self._windows(h, w)
+            per_video.append((wins, len(frames), h, w))
+            m += len(frames) * len(wins)
+        if m == 0:
+            return [[[] for _ in range(n)] for _, n, _, _ in per_video]
         crops = np.zeros((self._bucket(m), self._input, self._input, 3),
                          np.uint8)
         i = 0
-        for f in frames:
-            for (top, left, side) in wins:
-                src = f if side < 0 else f[top: top + side, left: left + side]
-                crops[i] = cv2.resize(src, (self._input, self._input),
-                                      interpolation=cv2.INTER_AREA)
-                i += 1
-        scores, boxes = self._fn(self.params, crops)
-        scores = np.asarray(scores)[:m].reshape(len(frames), len(wins), -1)
-        boxes = np.asarray(boxes)[:m].reshape(len(frames), len(wins), -1, 4)
-        merged: List[List[Tuple[float, Box]]] = []
-        for fi in range(len(frames)):
-            cands: List[Tuple[float, Box]] = []
-            for wi, (top0, left0, side) in enumerate(wins):
-                sy, sx = (h, w) if side < 0 else (side, side)
-                for s, (cy, cx, bh, bw) in zip(scores[fi, wi], boxes[fi, wi]):
-                    if s <= self.score_thresh or not np.isfinite(s):
-                        continue
-                    t = int(np.clip(top0 + (cy - bh / 2) * sy, 0, h))
-                    b = int(np.clip(top0 + (cy + bh / 2) * sy, 0, h))
-                    lf = int(np.clip(left0 + (cx - bw / 2) * sx, 0, w))
-                    r = int(np.clip(left0 + (cx + bw / 2) * sx, 0, w))
-                    if b > t and r > lf:
-                        cands.append((float(s), (t, r, b, lf)))
-            merged.append(self._merge(cands))
-        return [[box for _, box in frame] for frame in merged]
+        for frames, (wins, _, _, _) in zip(frames_list, per_video):
+            for f in frames:
+                for (top, left, side) in wins:
+                    src = f if side < 0 else f[top: top + side,
+                                               left: left + side]
+                    crops[i] = cv2.resize(src, (self._input, self._input),
+                                          interpolation=cv2.INTER_AREA)
+                    i += 1
+        scores_all, boxes_all = self._fn(self.params, crops)
+        scores_all = np.asarray(scores_all)[:m]
+        boxes_all = np.asarray(boxes_all)[:m]
+        out: List[List[List[Box]]] = []
+        off = 0
+        for wins, n_frames, h, w in per_video:
+            k = n_frames * len(wins)
+            if k == 0:  # zero-frame entry: no windows were scored
+                out.append([[] for _ in range(n_frames)])
+                continue
+            scores = scores_all[off: off + k].reshape(n_frames, len(wins), -1)
+            boxes = boxes_all[off: off + k].reshape(n_frames, len(wins), -1, 4)
+            off += k
+            merged: List[List[Tuple[float, Box]]] = []
+            for fi in range(n_frames):
+                cands: List[Tuple[float, Box]] = []
+                for wi, (top0, left0, side) in enumerate(wins):
+                    sy, sx = (h, w) if side < 0 else (side, side)
+                    for s, (cy, cx, bh, bw) in zip(scores[fi, wi],
+                                                   boxes[fi, wi]):
+                        if s <= self.score_thresh or not np.isfinite(s):
+                            continue
+                        t = int(np.clip(top0 + (cy - bh / 2) * sy, 0, h))
+                        b = int(np.clip(top0 + (cy + bh / 2) * sy, 0, h))
+                        lf = int(np.clip(left0 + (cx - bw / 2) * sx, 0, w))
+                        r = int(np.clip(left0 + (cx + bw / 2) * sx, 0, w))
+                        if b > t and r > lf:
+                            cands.append((float(s), (t, r, b, lf)))
+                merged.append(self._merge(cands))
+            out.append([[box for _, box in frame] for frame in merged])
+        return out
 
     @staticmethod
     def _iou(a: Box, b: Box) -> float:

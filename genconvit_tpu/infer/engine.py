@@ -650,6 +650,98 @@ class Predictor:
                         (int(y[i]), float(y_val[i]))
         return [(p, ordered[p]) for p in paths]
 
+    def predict_files_group_detect(self, paths: Sequence[str],
+                                   num_frames: int = 15, workers: int = 8,
+                                   video_batch: int = 8,
+                                   ) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
+        """Grouped driver for detector backends (the production default
+        `hybrid` path — VERDICT r3 #2): per group of `video_batch` videos,
+        decode in the host thread pool (C++/cv2 release the GIL), run ONE
+        batched detect_many over the whole group (the jax pyramid scores
+        every video's windows in a single device call instead of one
+        relay/PCIe round trip per video), crop on host (same cv2 INTER_AREA
+        geometry as the per-video path — boxes and crops are identical),
+        then launch the model asynchronously so group i+1's decode+detect
+        overlaps group i's device compute; one stacked fetch syncs all.
+        Replaces the reference's serial per-frame hot loop
+        (ref model/pred_func.py:67-92)."""
+        from genconvit_tpu.data.video import _maybe_inject_fault
+
+        s = self.config.img_size
+        fn = self._forward_fn(num_frames, batched=True, stacked=True)
+        ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
+        in_flight_names: List[List[str]] = []
+        in_flight: List[Any] = []
+
+        def grab(p):
+            _maybe_inject_fault(p)
+            return extract_frames(p, num_frames, self.prefer_native_decode)
+
+        for g in range(0, len(paths), video_batch):
+            group = list(paths[g: g + video_batch])
+            frames_map: Dict[str, np.ndarray] = {}
+            with self.timers.stage("decode"):
+                with cf.ThreadPoolExecutor(
+                        max_workers=min(workers, len(group))) as ex:
+                    futs = {ex.submit(grab, p): p for p in group}
+                    for fut in cf.as_completed(futs):
+                        p = futs[fut]
+                        try:  # per-video tolerance (ref prediction.py:25-45)
+                            frames_map[p] = fut.result()
+                        except Exception as e:
+                            log.error("error on %s: %s", p, e)
+            det_items = []
+            for p in group:
+                f = frames_map.get(p)
+                if f is None:
+                    continue  # decode error: stays None
+                if f.size == 0:
+                    ordered[p] = DEFAULT_VERDICT
+                else:
+                    det_items.append((p, f))
+            if not det_items:
+                continue
+            with self.timers.stage("detect"):
+                if isinstance(self.detector, RecordedDetector):
+                    boxes_list = [
+                        self.detector.for_video(os.path.basename(p)).detect(f)
+                        for p, f in det_items]
+                else:
+                    boxes_list = self.detector.detect_many(
+                        [f for _, f in det_items])
+            names: List[str] = []
+            rows: List[Tuple[np.ndarray, np.ndarray]] = []
+            with self.timers.stage("crop"):
+                for (p, f), boxes in zip(det_items, boxes_list):
+                    faces = crop_faces(f, boxes, num_frames, s)
+                    if len(faces) == 0:  # zero faces: (0, 0.5) default (B2)
+                        ordered[p] = DEFAULT_VERDICT
+                        continue
+                    rows.append(pad_faces(faces, num_frames, s))
+                    names.append(p)
+            if not names:
+                continue
+            faces_b = np.stack([r[0] for r in rows])
+            masks_b = np.stack([r[1] for r in rows])
+            if len(names) < video_batch:  # pad the tail: one compile per V
+                padn = video_batch - len(names)
+                faces_b = np.concatenate(
+                    [faces_b, np.zeros((padn,) + faces_b.shape[1:],
+                                       faces_b.dtype)])
+                masks_b = np.concatenate(
+                    [masks_b, np.zeros((padn,) + masks_b.shape[1:],
+                                       masks_b.dtype)])
+            out = fn(self.params, jax.device_put(faces_b),
+                     jax.device_put(masks_b), self._next_rng())
+            in_flight_names.append(names)
+            in_flight.append(out)  # async; one fetch at the end
+        with self.timers.stage("device_forward"):
+            for names, (y, y_val) in zip(in_flight_names,
+                                         self._fetch_stacked(in_flight)):
+                for i, p in enumerate(names):
+                    ordered[p] = (int(y[i]), float(y_val[i]))
+        return [(p, ordered[p]) for p in paths]
+
     def predict_files(self, paths: Sequence[str], num_frames: int = 15,
                       workers: int = 8, video_batch: int = 8,
                       ) -> List[Tuple[str, Optional[Tuple[int, float]]]]:
@@ -672,6 +764,12 @@ class Predictor:
             except Exception as e:
                 log.warning("native batch path unavailable (%s); using the "
                             "generic driver", e)
+        if (len(paths) > 1 and not isinstance(self.detector, FullFrameDetector)
+                and os.environ.get("GENCONVIT_GROUP_DETECT", "1") == "1"):
+            # detector backends (hybrid/jax/haar/...): grouped decode ->
+            # one batched detect per group -> async launches
+            return self.predict_files_group_detect(paths, num_frames,
+                                                   workers, video_batch)
         ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
         if not paths:
             return []

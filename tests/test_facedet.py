@@ -568,3 +568,42 @@ def test_intact_crop_edge_bias():
     assert lo >= 0.09, f"hard-left mass {lo:.3f} (uniform-like: no edge bias)"
     assert hi >= 0.19, f"hard-right mass {hi:.3f} (pinned-to-zero regression)"
     assert center <= 0.46, f"center mass {center:.3f} (no edge preference)"
+
+
+def test_detect_many_matches_per_video_detect(rng):
+    """Grouped detection (one device call for all videos — the
+    predict_files_group_detect driver) must produce BITWISE the same boxes
+    as per-video detect, across mixed resolutions."""
+    from genconvit_tpu.data.faces import JaxFaceDetector, make_detector
+
+    det = (make_detector("jax") if os.path.isfile(ASSET)
+           else JaxFaceDetector(allow_random=True))
+    vids = [
+        (rng.random((3, 240, 320, 3)) * 255).astype(np.uint8),
+        (rng.random((2, 320, 240, 3)) * 255).astype(np.uint8),
+        (rng.random((4, 128, 128, 3)) * 255).astype(np.uint8),
+    ]
+    grouped = det.detect_many(vids)
+    solo = [det.detect(v) for v in vids]
+    assert grouped == solo
+
+
+def test_detect_many_base_fallback(rng):
+    """Detectors without a batched override run the serial loop with
+    identical results (the engine driver accepts any backend)."""
+    from genconvit_tpu.data.faces import CenterDetector
+
+    det = CenterDetector()
+    vids = [(rng.random((2, 100, 160, 3)) * 255).astype(np.uint8),
+            (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)]
+    assert det.detect_many(vids) == [det.detect(v) for v in vids]
+
+
+def test_detect_many_empty_video_entry(rng):
+    from genconvit_tpu.data.faces import JaxFaceDetector
+
+    det = JaxFaceDetector(allow_random=True)
+    vids = [np.zeros((0, 240, 320, 3), np.uint8),
+            (rng.random((2, 240, 320, 3)) * 255).astype(np.uint8)]
+    out = det.detect_many(vids)
+    assert out[0] == [] and len(out[1]) == 2

@@ -282,3 +282,42 @@ class TestFaceBackendLadder:
         made = self._predictor_with_failing(
             monkeypatch, "recorded", failing={"recorded"})
         assert made == ["fullframe"]
+
+
+class TestGroupDetect:
+    def test_predict_files_group_detect_matches_per_video(self, tmp_path):
+        """The grouped-detect driver (default for non-fullframe backends)
+        must agree with the serial per-video path: same crops, same
+        verdicts (ED branch: no VAE sampling, so parity is exact)."""
+        cfg = Config()
+        cfg.img_size = 64
+        cfg.model.latent_dims = cfg.derived_latent_dims()
+        cfg.weight_dir = "/nonexistent"
+        p = Predictor(cfg, net="ed", face_backend="center", seed=0)
+        paths = []
+        for i in range(5):  # 5 pads to video_batch=4's second group
+            path = str(tmp_path / f"v{i}.mp4")
+            _write_synth_video(path, n_frames=10 + i)
+            paths.append(path)
+        grouped = dict(p.predict_files(paths, num_frames=4, video_batch=4))
+        solo = {q: p.predict_video(q, 4) for q in paths}
+        for q in paths:
+            assert grouped[q][0] == solo[q][0]
+            assert abs(grouped[q][1] - solo[q][1]) < 1e-5
+        # and the driver actually took the grouped path
+        assert p.timers.summary().get("detect", {}).get("count", 0) > 0
+
+    def test_group_detect_fault_tolerance(self, tmp_path, monkeypatch):
+        cfg = Config()
+        cfg.img_size = 64
+        cfg.model.latent_dims = cfg.derived_latent_dims()
+        cfg.weight_dir = "/nonexistent"
+        p = Predictor(cfg, net="ed", face_backend="center", seed=0)
+        paths = []
+        for i in range(3):
+            path = str(tmp_path / f"v{i}.mp4")
+            _write_synth_video(path)
+            paths.append(path)
+        monkeypatch.setenv("GENCONVIT_FAULT_INJECT", "1.0")
+        out = dict(p.predict_files(paths, num_frames=4, video_batch=4))
+        assert all(out[q] is None for q in paths)  # walker maps None -> (0,0.5)
