@@ -173,6 +173,18 @@ def main():
     from genconvit_tpu.ops.kernel_plan import KernelPlan
 
     plan = _dc.replace(KernelPlan.from_env(), dw_rank=0)
+    from genconvit_tpu.ops.kernel_plan import default_plan_asset
+
+    plan_src = (os.environ.get("GENCONVIT_KERNEL_PLAN")
+                or default_plan_asset() or "defaults")
+    if plan_src != "defaults":
+        try:
+            with open(plan_src) as _f:
+                plan_src = json.load(_f).get("_meta", {}).get(
+                    "name", os.path.basename(plan_src))
+        except Exception:
+            plan_src = os.path.basename(plan_src)
+    log(f"kernel plan source: {plan_src}")
     predictor = Predictor(config, net="genconvit", face_backend="fullframe",
                           kernel_plan=plan,
                           dtype=jnp.bfloat16 if backend == "tpu" else jnp.float32)
@@ -206,6 +218,7 @@ def main():
             "vs_baseline": round(best / A100_FP16_BASELINE_VIDEOS_PER_SEC, 3),
             "baseline": "analytic",
             "platform": backend,
+            "plan": plan_src,
             "method": "device-resident batches (chip compute path; baseline "
                       "denominator is an analytic A100-fp16 model-forward "
                       "estimate, like-for-like)",

@@ -83,14 +83,22 @@ class KernelPlan:
         """Resolve a plan from the environment — the ONE place env is read.
 
         Layering (most specific wins):
-          1. defaults (the v5e-tuned shipped configuration);
-          2. a tuned plan file named by GENCONVIT_KERNEL_PLAN (written by
+          1. defaults;
+          2. the committed per-chip asset matching the current device kind
+             (genconvit_tpu/assets/kernel_plan.<device_kind>.json — the
+             autotuner's product; a fresh workspace reproduces the tuned
+             configuration with zero hand-set knobs;
+             GENCONVIT_KERNEL_PLAN_ASSET=0 disables);
+          3. a tuned plan file named by GENCONVIT_KERNEL_PLAN (written by
              `tools/autotune.py` for the current chip generation);
-          3. individual GENCONVIT_* knob vars, but only those EXPLICITLY set
+          4. individual GENCONVIT_* knob vars, but only those EXPLICITLY set
              — an unset var never masks a tuned-file field.
         """
         base = KernelPlan()
         plan_file = os.environ.get("GENCONVIT_KERNEL_PLAN", "")
+        if not plan_file and os.environ.get(
+                "GENCONVIT_KERNEL_PLAN_ASSET", "1") == "1":
+            plan_file = default_plan_asset()
         if plan_file:
             base = KernelPlan.load(plan_file)
         fields: Dict[str, Any] = {}
@@ -130,6 +138,26 @@ class KernelPlan:
             data = json.load(f)
         names = {f.name for f in dataclasses.fields(KernelPlan)}
         return KernelPlan(**{k: v for k, v in data.items() if k in names})
+
+
+_PLAN_ASSET_CACHE: Dict[str, str] = {}
+
+
+def default_plan_asset() -> str:
+    """Path of the committed per-chip tuned plan for the CURRENT backend's
+    device kind, or '' when none ships. Memoized per kind (jax backend init
+    happens once anyway; the lookup itself is one isfile)."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:
+        return ""
+    if kind not in _PLAN_ASSET_CACHE:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets", f"kernel_plan.{kind}.json")
+        _PLAN_ASSET_CACHE[kind] = path if os.path.isfile(path) else ""
+    return _PLAN_ASSET_CACHE[kind]
 
 
 def save_plan(plan: KernelPlan, path: str,

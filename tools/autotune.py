@@ -172,6 +172,7 @@ def main():
         return 1
     best = min(timed, key=lambda r: r["ms_per_launch"])
     meta = {
+        "name": f"tuned-{kind}",
         "device_kind": device.device_kind,
         "backend": backend,
         "v_batch": args.v,
