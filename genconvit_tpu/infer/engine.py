@@ -665,31 +665,55 @@ class Predictor:
         overlaps group i's device compute; one stacked fetch syncs all.
         Replaces the reference's serial per-frame hot loop
         (ref model/pred_func.py:67-92)."""
-        from genconvit_tpu.data.video import _maybe_inject_fault
-
-        s = self.config.img_size
         fn = self._forward_fn(num_frames, batched=True, stacked=True)
         ordered: Dict[str, Optional[Tuple[int, float]]] = {p: None for p in paths}
         in_flight_names: List[List[str]] = []
         in_flight: List[Any] = []
+        groups = [list(paths[g: g + video_batch])
+                  for g in range(0, len(paths), video_batch)]
+        ex = cf.ThreadPoolExecutor(max_workers=workers)
+        try:
+            self._group_detect_loop(groups, ex, num_frames,
+                                    video_batch, fn, ordered,
+                                    in_flight_names, in_flight)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+        with self.timers.stage("device_forward"):
+            for names, (y, y_val) in zip(in_flight_names,
+                                         self._fetch_stacked(in_flight)):
+                for i, p in enumerate(names):
+                    ordered[p] = (int(y[i]), float(y_val[i]))
+        return [(p, ordered[p]) for p in paths]
+
+    def _group_detect_loop(self, groups, ex, num_frames,
+                           video_batch, fn, ordered, in_flight_names,
+                           in_flight) -> None:
+        """Inner loop of predict_files_group_detect (split out so the
+        executor teardown wraps it in one try/finally)."""
+        from genconvit_tpu.data.video import _maybe_inject_fault
+
+        s = self.config.img_size
 
         def grab(p):
             _maybe_inject_fault(p)
             return extract_frames(p, num_frames, self.prefer_native_decode)
 
-        for g in range(0, len(paths), video_batch):
-            group = list(paths[g: g + video_batch])
+        next_futs = ({p: ex.submit(grab, p) for p in groups[0]}
+                     if groups else {})
+        for gi, group in enumerate(groups):
+            cur_futs = next_futs
+            if gi + 1 < len(groups):
+                # one-group decode lookahead: group i+1 decodes in the pool
+                # while group i detects/crops/launches, so the "decode"
+                # stage below times only the residual WAIT
+                next_futs = {p: ex.submit(grab, p) for p in groups[gi + 1]}
             frames_map: Dict[str, np.ndarray] = {}
             with self.timers.stage("decode"):
-                with cf.ThreadPoolExecutor(
-                        max_workers=min(workers, len(group))) as ex:
-                    futs = {ex.submit(grab, p): p for p in group}
-                    for fut in cf.as_completed(futs):
-                        p = futs[fut]
-                        try:  # per-video tolerance (ref prediction.py:25-45)
-                            frames_map[p] = fut.result()
-                        except Exception as e:
-                            log.error("error on %s: %s", p, e)
+                for p, fut in cur_futs.items():
+                    try:  # per-video tolerance (ref prediction.py:25-45)
+                        frames_map[p] = fut.result()
+                    except Exception as e:
+                        log.error("error on %s: %s", p, e)
             det_items = []
             for p in group:
                 f = frames_map.get(p)
@@ -735,12 +759,6 @@ class Predictor:
                      jax.device_put(masks_b), self._next_rng())
             in_flight_names.append(names)
             in_flight.append(out)  # async; one fetch at the end
-        with self.timers.stage("device_forward"):
-            for names, (y, y_val) in zip(in_flight_names,
-                                         self._fetch_stacked(in_flight)):
-                for i, p in enumerate(names):
-                    ordered[p] = (int(y[i]), float(y_val[i]))
-        return [(p, ordered[p]) for p in paths]
 
     def predict_files(self, paths: Sequence[str], num_frames: int = 15,
                       workers: int = 8, video_batch: int = 8,

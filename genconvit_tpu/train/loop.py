@@ -227,7 +227,10 @@ def train_model(
 
     history = {"train_loss": [], "train_acc": [], "valid_loss": [], "valid_acc": []}
     epoch_loss = min_loss
-    best_val = float("inf")
+    # best-so-far starts from the checkpoint's min_loss (ref train.py:58
+    # threads min_val_loss the same way) so a resumed run can't overwrite
+    # genconvit_*_best.gcv with a worse epoch
+    best_val = min_loss
     since = time.time()
     step_rng = jax.random.PRNGKey(seed + 1)
 
