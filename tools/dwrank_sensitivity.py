@@ -38,11 +38,17 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rank", default="1",
-                    help="integer rank, or adaptive 'auto:<energy>[:<max>]'")
+                    help="integer rank or adaptive 'auto:<energy>[:<max>]'; "
+                         "comma-separate to sweep several in one process "
+                         "(shared predictor, crops, and VAE keys)")
     ap.add_argument("--frames", type=int, default=15)
     ap.add_argument("--dir", default="/root/reference/sample_prediction_data")
     ap.add_argument("--net", default="genconvit")
     ap.add_argument("--face-backend", default=None)
+    ap.add_argument("--ed", default=None,
+                    help="explicit ED weight path (e.g. the trained "
+                         "weight/genconvit_ed_best.gcv)")
+    ap.add_argument("--vae", default=None, help="explicit VAE weight path")
     args = ap.parse_args()
 
     from genconvit_tpu.config import Config
@@ -67,52 +73,57 @@ def main():
     # the attached factors, and the engine's jit re-keys on tree structure —
     # so both paths see identical crops, dtype, and per-video sampling keys.
     pred = Predictor(cfg, net=args.net,
+                     ed_weight=args.ed, vae_weight=args.vae,
                      face_backend=args.face_backend,
                      kernel_plan=base)
     from genconvit_tpu.ops.dwsep import add_dw_sep
 
-    rank = args.rank if args.rank.startswith("auto") else int(args.rank)
     params_exact = pred.params
-    params_sep, stats = add_dw_sep(params_exact, rank)
-    print(f"rank={rank}: {int(stats['count'])} filter-channels across "
-          f"{int(stats['blocks_sep'])} blocks (rank mix {stats['rank_hist']}, "
-          f"{int(stats['blocks_exact'])} exact), "
-          f"retained energy mean {stats['energy_mean']:.4f} "
-          f"min {stats['energy_min']:.4f}", file=sys.stderr)
+    crops = [(v, pred.extract_faces(v, args.frames)) for v in vids]
+    rc = 0
+    for rank_s in args.rank.split(","):
+        rank = rank_s if rank_s.startswith("auto") else int(rank_s)
+        params_sep, stats = add_dw_sep(params_exact, rank)
+        print(f"rank={rank}: {int(stats['count'])} filter-channels across "
+              f"{int(stats['blocks_sep'])} blocks (rank mix "
+              f"{stats['rank_hist']}, {int(stats['blocks_exact'])} exact), "
+              f"retained energy mean {stats['energy_mean']:.4f} "
+              f"min {stats['energy_min']:.4f}", file=sys.stderr)
 
-    rows = []
-    for v in vids:
-        faces = pred.extract_faces(v, args.frames)
-        out = {"video": os.path.basename(v)}
-        for tag, p in (("exact", params_exact), ("sep", params_sep)):
-            pred.params = p
-            pred._rng = __import__("jax").random.PRNGKey(0)  # same VAE keys
-            pred._video_counter = 0
-            label, prob = pred.predict_faces(faces, args.frames)
-            out[f"label_{tag}"], out[f"prob_{tag}"] = label, round(float(prob), 5)
-        out["delta"] = round(abs(out["prob_exact"] - out["prob_sep"]), 5)
-        out["flip"] = out["label_exact"] != out["label_sep"]
-        rows.append(out)
-        print(f"  {out['video']}: exact {out['prob_exact']:.4f} vs "
-              f"rank{args.rank} {out['prob_sep']:.4f} "
-              f"(|d|={out['delta']:.4f}{', FLIP' if out['flip'] else ''})",
-              file=sys.stderr)
+        rows = []
+        for v, faces in crops:
+            out = {"video": os.path.basename(v)}
+            for tag, p in (("exact", params_exact), ("sep", params_sep)):
+                pred.params = p
+                pred._rng = __import__("jax").random.PRNGKey(0)  # same VAE keys
+                pred._video_counter = 0
+                label, prob = pred.predict_faces(faces, args.frames)
+                out[f"label_{tag}"] = label
+                out[f"prob_{tag}"] = round(float(prob), 5)
+            out["delta"] = round(abs(out["prob_exact"] - out["prob_sep"]), 5)
+            out["flip"] = out["label_exact"] != out["label_sep"]
+            rows.append(out)
+            print(f"  {out['video']}: exact {out['prob_exact']:.4f} vs "
+                  f"rank{rank_s} {out['prob_sep']:.4f} "
+                  f"(|d|={out['delta']:.4f}{', FLIP' if out['flip'] else ''})",
+                  file=sys.stderr)
 
-    deltas = [r["delta"] for r in rows]
-    print(json.dumps({
-        "rank": args.rank,
-        "net": args.net,
-        "videos": len(rows),
-        "rank_hist": stats["rank_hist"],
-        "blocks_exact": int(stats["blocks_exact"]),
-        "energy_mean": round(stats["energy_mean"], 4),
-        "max_abs_prob_delta": round(max(deltas), 5),
-        "mean_abs_prob_delta": round(float(np.mean(deltas)), 5),
-        "verdict_flips": sum(r["flip"] for r in rows),
-        "weights": "random" if not os.path.isdir(cfg.weight_dir) else "loaded",
-        "per_video": rows,
-    }))
-    return 0
+        deltas = [r["delta"] for r in rows]
+        print(json.dumps({
+            "rank": rank_s,
+            "net": args.net,
+            "videos": len(rows),
+            "rank_hist": stats["rank_hist"],
+            "blocks_exact": int(stats["blocks_exact"]),
+            "energy_mean": round(stats["energy_mean"], 4),
+            "max_abs_prob_delta": round(max(deltas), 5),
+            "mean_abs_prob_delta": round(float(np.mean(deltas)), 5),
+            "verdict_flips": sum(r["flip"] for r in rows),
+            "weights": {"ed": args.ed or "default-lookup",
+                        "vae": args.vae or "default-lookup"},
+            "per_video": rows,
+        }), flush=True)
+    return rc
 
 
 if __name__ == "__main__":
