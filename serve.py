@@ -44,6 +44,15 @@ def make_handler(predictor, num_frames: int, batcher=None):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/statz":
+                # device-side accounting: how many launches served how many
+                # videos (the batcher's whole point is launches << videos)
+                if batcher is not None:
+                    self._reply(200, {"mode": "micro-batched",
+                                      "device_launches": batcher.launches,
+                                      "videos_scored": batcher.batched_videos})
+                else:
+                    self._reply(200, {"mode": "lock-serialized"})
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -125,6 +134,19 @@ def main():
         batcher = MicroBatcher(predictor, args.f,
                                window_ms=args.batch_window_ms,
                                max_batch=args.max_batch)
+        # warm EVERY power-of-two bucket the batcher can launch (1,2,4,...,
+        # max_batch): each distinct [B,F,...] shape is its own XLA
+        # compilation, and an un-warmed bucket turns the first concurrent
+        # burst into a 30-80s compile INSIDE a request (measured: p50 90.5s
+        # vs 5.5s lock-serialized on the relay before this warmup existed)
+        b = 1
+        while b <= args.max_batch:
+            predictor.predict_videos_batched(
+                np.zeros((b, args.f, config.img_size, config.img_size, 3),
+                         np.uint8),
+                np.ones((b, args.f), np.float32))
+            log.info("warmed batch bucket B=%d", b)
+            b *= 2
     log.info("model warm; serving on %s:%d (micro-batch window %.1fms)",
              args.host, args.port, args.batch_window_ms)
 

@@ -57,6 +57,57 @@ def test_predict_roundtrip(server, tmp_path_factory):
     assert out["faces_found"] > 0
 
 
+def test_statz_lock_mode(server):
+    # the module fixture serves without a batcher -> lock-serialized mode
+    with urllib.request.urlopen(server + "/statz") as r:
+        assert json.load(r)["mode"] == "lock-serialized"
+
+
+def test_statz_batched_counters(tmp_path_factory):
+    """Batched server: /statz reports device launches << videos scored."""
+    import urllib.error
+
+    from http.server import ThreadingHTTPServer
+
+    from genconvit_tpu.infer.batcher import MicroBatcher
+    from genconvit_tpu.infer.engine import Predictor
+    from serve import make_handler
+
+    cfg = Config()
+    cfg.img_size = 64
+    cfg.model.latent_dims = cfg.derived_latent_dims()
+    cfg.weight_dir = "/nonexistent"
+    predictor = Predictor(cfg, net="ed", face_backend="fullframe")
+    batcher = MicroBatcher(predictor, 3, window_ms=25.0, max_batch=4)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                              make_handler(predictor, 3, batcher))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        data = _video_bytes(tmp_path_factory)
+
+        def post():
+            req = urllib.request.Request(base + "/predict", data=data,
+                                         method="POST")
+            with urllib.request.urlopen(req) as r:
+                json.load(r)
+
+        posters = [threading.Thread(target=post) for _ in range(4)]
+        for p in posters:
+            p.start()
+        for p in posters:
+            p.join()
+        with urllib.request.urlopen(base + "/statz") as r:
+            stats = json.load(r)
+        assert stats["mode"] == "micro-batched"
+        assert stats["videos_scored"] == 4
+        assert 1 <= stats["device_launches"] <= 4
+    finally:
+        srv.shutdown()
+        batcher.close()
+
+
 def test_predict_garbage_body(server):
     req = urllib.request.Request(server + "/predict", data=b"not a video",
                                  method="POST")

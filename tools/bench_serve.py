@@ -142,6 +142,20 @@ def main():
             wait_healthy(args.port, proc, args.server_timeout)
             r = run_mode(args.port, body, args.clients, args.duration,
                          args.warmup)
+            try:  # device-side accounting (serve.py /statz)
+                c = http.client.HTTPConnection("127.0.0.1", args.port,
+                                               timeout=10)
+                c.request("GET", "/statz")
+                stats = json.loads(c.getresponse().read())
+                if "device_launches" in stats:
+                    r["device_launches"] = stats["device_launches"]
+                    r["videos_scored"] = stats["videos_scored"]
+                    if stats["device_launches"]:
+                        r["videos_per_launch"] = round(
+                            stats["videos_scored"]
+                            / stats["device_launches"], 2)
+            except Exception:
+                pass
         finally:
             proc.terminate()
             try:
