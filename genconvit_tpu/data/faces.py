@@ -228,12 +228,13 @@ class HaarDetector(FaceDetector):
         self.front_thresh = front_thresh
         self.prof_thresh = prof_thresh
         self.calibrate = calibrate
-        # detect on a 1/downscale frame: downscale=2 measured quality-
-        # neutral on the real-frame fixture (staged hybrid 0.638/85.7% vs
-        # 0.640/84.9% full-res) at ~2x the cascade host cost; boxes are
-        # scaled back to frame coordinates. _effective_downscale floors the
-        # detection frame at 360px short side so small inputs never lose
-        # the min-face resolution the cascades need.
+        # detect on a 1/downscale frame: boxes are scaled back to frame
+        # coordinates; _effective_downscale floors the detection frame at
+        # 360px short side so small inputs never lose the min-face
+        # resolution the cascades need. The class default is 1 (full-res);
+        # make_detector injects the production default (2, env
+        # GENCONVIT_HAAR_DOWNSCALE) — measured trade in
+        # _default_haar_downscale's docstring.
         self.downscale = max(1, int(downscale))
         self._thread_handles()  # fail fast on a bad cascade file
 
@@ -711,7 +712,28 @@ class JaxFaceDetector(FaceDetector):
         return out
 
 
+def _default_haar_downscale() -> int:
+    """Production default for the cascade detection-time downscale.
+
+    GENCONVIT_HAAR_DOWNSCALE overrides; the built-in default is 2: the
+    cascades scan a half-resolution frame (floored at 360px short side by
+    HaarDetector._effective_downscale, so sub-720p footage is unaffected)
+    and boxes scale back to frame coordinates. Measured on the curated
+    148-frame real fixture + trained checkpoints (2026-08, see
+    docs/performance.md): cascade host cost 2.0x lower (69.0s -> 34.5s),
+    hybrid mean IoU 0.664 -> 0.656, det@0.5 89.9% -> 89.2%, and verdict
+    sensitivity over the 8 sample videos = 0/8 flips, max |dprob| 0.030.
+    Set GENCONVIT_HAAR_DOWNSCALE=1 for full-resolution detection."""
+    try:
+        return max(1, int(os.environ.get("GENCONVIT_HAAR_DOWNSCALE", "2")))
+    except ValueError:
+        return 2
+
+
 def make_detector(backend: str, **kwargs) -> FaceDetector:
+    if backend in ("haar", "hybrid") and not any(
+            k in kwargs for k in ("downscale", "haar_downscale")):
+        kwargs["downscale"] = _default_haar_downscale()
     if backend in ("fullframe", "none"):
         return FullFrameDetector()
     if backend == "center":

@@ -135,6 +135,26 @@ def test_haar_downscale_in_frame_coords(rng):
             assert 0 <= t < b <= 479 and 0 <= l < r <= 641
 
 
+@pytest.mark.skipif(not _haar_available(),
+                    reason="native haar shim or system cascades missing")
+def test_haar_downscale_env_default(monkeypatch):
+    """make_detector injects the production detection-downscale default
+    (2) for haar/hybrid; GENCONVIT_HAAR_DOWNSCALE overrides it; an explicit
+    kwarg wins over both; direct construction keeps the full-res class
+    default (docs/performance.md, round-4 measured trade)."""
+    from genconvit_tpu.data.faces import HaarDetector, make_detector
+
+    monkeypatch.delenv("GENCONVIT_HAAR_DOWNSCALE", raising=False)
+    assert make_detector("haar").downscale == 2
+    monkeypatch.setenv("GENCONVIT_HAAR_DOWNSCALE", "1")
+    assert make_detector("haar").downscale == 1
+    monkeypatch.setenv("GENCONVIT_HAAR_DOWNSCALE", "not-an-int")
+    assert make_detector("haar").downscale == 2  # malformed env -> default
+    monkeypatch.setenv("GENCONVIT_HAAR_DOWNSCALE", "4")
+    assert make_detector("haar", downscale=3).downscale == 3
+    assert HaarDetector().downscale == 1  # library default unchanged
+
+
 @pytest.mark.skipif(not os.path.isfile(ASSET) or not os.path.isdir(REF_FACES),
                     reason="committed facedet asset or reference mount missing")
 def test_committed_checkpoint_iou_on_heldout_faces():
