@@ -532,7 +532,33 @@ def main():
                             "async model launches); single-CPU-core "
                             "sandbox host — decode+cascade bound"),
                     })
-                    emit()
+                    # side number: the PURE-DEVICE jax detector (no host
+                    # cascade at all) — on one-core hosts the hybrid path is
+                    # cascade-bound, so this is the fast-path ceiling where
+                    # detection rides the chip and the host only decodes.
+                    if deadline_left() > 150:
+                        predictor.detector = make_detector("jax")
+                        predictor.predict_files(vids, FRAMES, video_batch=8)
+                        jrates = []
+                        for trial in range(2):
+                            t0 = time.perf_counter()
+                            res = predictor.predict_files(vids, FRAMES,
+                                                          video_batch=8)
+                            dt = time.perf_counter() - t0
+                            ok = sum(1 for _, v in res if v is not None)
+                            jrates.append(ok / dt)
+                            log(f"e2e-detect-jax trial {trial}: "
+                                f"{ok / dt:.2f} videos/s ({dt:.1f}s)")
+                        refresh(extra={
+                            "e2e_detect_jax_videos_per_sec": round(
+                                float(np.median(jrates)), 2),
+                            "e2e_detect_jax_note": (
+                                "pure-device jax detector (no host cascade; "
+                                "decode-bound) — fast-path option, lower box "
+                                "quality than the default hybrid (see "
+                                "docs/performance.md)"),
+                        })
+                        emit()
                     predictor.detector = saved_det
                 except Exception as e:
                     log(f"e2e-detect phase failed ({type(e).__name__}: {e}); "
