@@ -18,6 +18,27 @@ import jax
 import jax.numpy as jnp
 
 
+def masked_prob_sums(logits: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Distributable half of the aggregation: (sum of masked sigmoid probs
+    [2], mask count). Because the reference's frame mean (ref
+    model/pred_func.py:123-131) is a plain masked mean, these partial sums
+    psum cleanly over a frame-sharded mesh axis — `lax.psum` both, then
+    `finish_aggregate` — which is exactly how the long-video sequence-axis
+    path distributes one video's frames across chips
+    (parallel/eval_shard.py predict_long_video)."""
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    return jnp.sum(probs * mask[:, None], axis=0), jnp.sum(mask)
+
+
+def finish_aggregate(sum_probs: jax.Array, count: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(global prob sums [2], global mask count) -> (y, y_val)."""
+    mean_val = sum_probs / jnp.maximum(count, 1.0)
+    y = jnp.argmax(mean_val).astype(jnp.int32)
+    y_val = jnp.where(mean_val[0] > mean_val[1], mean_val[0],
+                      jnp.abs(1.0 - mean_val[1]))
+    return y, y_val
+
+
 def aggregate_logits(logits: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """logits: [K,2]; mask: [K] validity (1.0 = real face row).
 
@@ -25,13 +46,7 @@ def aggregate_logits(logits: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax
     For the ensemble net, K = 2F and mask is the frame mask tiled twice
     (ED rows then VAE rows — batch-axis concat semantics).
     """
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    denom = jnp.maximum(jnp.sum(mask), 1.0)
-    mean_val = jnp.sum(probs * mask[:, None], axis=0) / denom
-    y = jnp.argmax(mean_val).astype(jnp.int32)
-    y_val = jnp.where(mean_val[0] > mean_val[1], mean_val[0],
-                      jnp.abs(1.0 - mean_val[1]))
-    return y, y_val
+    return finish_aggregate(*masked_prob_sums(logits, mask))
 
 
 def real_or_fake(prediction: int) -> str:

@@ -81,6 +81,89 @@ def _shard_map_forward(predictor: Predictor, mesh, num_frames: int):
     return cache[key]
 
 
+def _long_video_forward(predictor: Predictor, mesh, num_frames: int):
+    """shard_map forward for ONE video with the FRAME axis sharded over
+    'data' (the sequence-parallel analog, SURVEY §5): each chip scores its
+    F/n frame slice, the masked frame mean becomes two `lax.psum`s over
+    'data' (`aggregate.masked_prob_sums` -> psum -> `finish_aggregate`) —
+    the distributed form of the reference's mean over frames (ref
+    model/pred_func.py:123-131). Per-shard rngs fold from the axis index
+    (VAE eval-time sampling stays iid across shards); deterministic_vae
+    predictors get exact parity with the unsharded forward."""
+    key = ("long_video", tuple(d.id for d in mesh.devices.flat), num_frames,
+           predictor.kernel_plan, predictor.deterministic_vae)
+    cache = getattr(predictor, "_shard_map_cache", None)
+    if cache is None:
+        cache = predictor._shard_map_cache = {}
+    if key not in cache:
+        import jax.numpy as jnp
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from genconvit_tpu.data.preprocess import normalize_batch
+        from genconvit_tpu.infer.aggregate import (
+            finish_aggregate, masked_prob_sums)
+        from genconvit_tpu.models.convnext import kernel_backbone_scope
+        from genconvit_tpu.models.genconvit import genconvit_apply
+        from genconvit_tpu.ops.kernel_plan import plan_scope
+
+        net, dtype, plan = predictor.net, predictor.dtype, predictor.kernel_plan
+        sample = not predictor.deterministic_vae
+
+        def local_fwd(params, frames_u8, mask, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            x = normalize_batch(frames_u8, dtype)
+            with plan_scope(plan), kernel_backbone_scope():
+                logits, _ = genconvit_apply(params, x, net=net, rng=rng,
+                                            sample=sample)
+            full_mask = (jnp.concatenate([mask, mask])
+                         if net == "genconvit" else mask)
+            part, cnt = masked_prob_sums(logits, full_mask)
+            return finish_aggregate(jax.lax.psum(part, "data"),
+                                    jax.lax.psum(cnt, "data"))
+
+        cache[key] = jax.jit(shard_map(
+            local_fwd, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=(P(), P()), check_rep=False))
+    return cache[key]
+
+
+def predict_long_video(
+    predictor: Predictor,
+    frames_u8: np.ndarray,          # [F, S, S, 3] uint8
+    mask: Optional[np.ndarray] = None,  # [F] float32 validity (None = all)
+    mesh=None,
+) -> Tuple[int, float]:
+    """Score ONE long video with its FRAME axis sharded across mesh 'data'.
+
+    The latency-oriented dual of predict_sharded (which shards the video
+    axis): a single F-frame video — e.g. full-coverage scoring at F=120+ —
+    splits F across chips, each chip runs the backbone on F/n frames, and
+    the verdict mean reduces with a psum. F pads up to a multiple of the
+    data-axis size with zero-mask rows (dropped from the mean by
+    construction, same masking as the ragged-faces path)."""
+    mesh = mesh or make_mesh()
+    ndata = mesh.shape["data"]
+    f = frames_u8.shape[0]
+    if mask is None:
+        mask = np.ones((f,), np.float32)
+    pad = (-f) % ndata
+    if pad:
+        frames_u8 = np.concatenate(
+            [frames_u8,
+             np.zeros((pad,) + frames_u8.shape[1:], frames_u8.dtype)])
+        mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+    params = sharded_params(predictor, mesh, False)
+    fn = _long_video_forward(predictor, mesh, frames_u8.shape[0])
+    sh = batch_sharding(mesh)
+    fb = jax.device_put(np.ascontiguousarray(frames_u8), sh)
+    mk = jax.device_put(np.asarray(mask, np.float32), sh)
+    with mesh:
+        y, y_val = fn(params, fb, mk, predictor._next_rng())
+    return int(y), float(y_val)
+
+
 def predict_sharded(
     predictor: Predictor,
     faces_batch: np.ndarray,   # [V, F, S, S, 3] uint8

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from genconvit_tpu.config import Config
 from genconvit_tpu.infer.engine import Predictor
 from genconvit_tpu.models.genconvit import init_genconvit
-from genconvit_tpu.parallel.eval_shard import predict_sharded, shard_file_list
+from genconvit_tpu.parallel.eval_shard import (
+    predict_long_video, predict_sharded, shard_file_list)
 from genconvit_tpu.parallel.mesh import (
     make_mesh, param_shardings, shard_batch, shard_params)
 from genconvit_tpu.train.loop import make_train_step
@@ -104,6 +105,43 @@ def test_sharded_params_cached_across_calls(small_cfg, rng):
     predict_sharded(p, faces, masks, mesh)
     predict_sharded(p, faces, masks, mesh)
     assert len(p._sharded_params_cache) == 1
+
+
+def test_long_video_frame_sharded_matches_unsharded(small_cfg, rng):
+    """SURVEY §5 sequence axis: ONE video's frames sharded over 'data',
+    masked psum-mean == the unsharded max_prediction_value aggregation.
+    deterministic_vae pins the VAE draw so parity is exact-path."""
+    p = Predictor(small_cfg, net="ed", face_backend="fullframe",
+                  deterministic_vae=True)
+    frames = (rng.random((21, 64, 64, 3)) * 255).astype(np.uint8)  # pads to 24
+    mask = np.ones((21,), np.float32)
+    mask[-2:] = 0.0  # ragged tail must not move the mean
+    mesh = make_mesh(data=8, model=1)
+    p._rng = jax.random.PRNGKey(3)
+    p._video_counter = 0
+    y, v = predict_long_video(p, frames, mask, mesh)
+    p._rng = jax.random.PRNGKey(3)
+    p._video_counter = 0
+    fn = p._forward_fn(21, batched=True)
+    y_u, v_u = fn(p.params, frames[None], mask[None], p._next_rng())
+    assert y == int(np.asarray(y_u)[0])
+    np.testing.assert_allclose(v, float(np.asarray(v_u)[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_long_video_mask_actually_masks(small_cfg, rng):
+    """Zero-mask rows (pad or dropped frames) must not affect the verdict:
+    scoring F frames with a zeroed tail == scoring the F-2 prefix."""
+    p = Predictor(small_cfg, net="ed", face_backend="fullframe",
+                  deterministic_vae=True)
+    frames = (rng.random((18, 64, 64, 3)) * 255).astype(np.uint8)
+    mesh = make_mesh(data=8, model=1)
+    mask = np.ones((18,), np.float32)
+    mask[16:] = 0.0
+    y_a, v_a = predict_long_video(p, frames, mask, mesh)
+    y_b, v_b = predict_long_video(p, frames[:16], None, mesh)
+    assert y_a == y_b
+    np.testing.assert_allclose(v_a, v_b, rtol=1e-6, atol=1e-7)
 
 
 def test_shard_file_list_partitions():

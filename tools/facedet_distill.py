@@ -10,13 +10,24 @@ real-face-trained and localizes better where it fires (native/gcv_facedet.cc)
 — this tool uses it as a TEACHER:
 
   1. harvest: decode frames from the reference's bundled videos, run the
-     frontal cascade, keep detections that agree with the per-video track
-     median (faces in this footage move slowly, so temporal consensus
-     filters the cascade's rare false positives);
+     STAGED SCORED cascade pipeline (confidence-thresholded frontal ->
+     mirrored profile fallback -> dlib-geometry calibration), keep
+     detections that agree with the per-video track median (faces in this
+     footage move slowly, so temporal consensus filters the cascade's rare
+     false positives);
   2. windows: turn each (frame, box) into training crops that mirror the
      pyramid-inference distribution (JaxFaceDetector._windows): square
-     windows where the face occupies 0.30-0.80 of the side, plus the
-     anisotropic full-frame squeeze, plus face-free negative windows;
+     windows where the face occupies mostly 0.30-0.80 of the side with
+     tails down to 0.15 and up to 0.92 (the scale-1 windows on 1080p
+     footage see the face at ~0.15-0.4), plus the anisotropic full-frame
+     squeeze, horizontal flips, photometric jitter, and face-free negative
+     windows;
+  2b. hard negatives (round-3 addition, VERDICT r4 #2): run the CURRENT
+     student checkpoint's pyramid on the harvested frames; every student
+     detection that does NOT overlap the teacher box becomes a dedicated
+     negative training window (unless the real face substantially enters
+     that window, in which case it becomes a corrective positive) — this
+     targets exactly the false positives that cost fixture IoU;
   3. train: fine-tune the shipped checkpoint on real crops mixed with the
      synthetic composites (forgetting guard), cosine-decayed lr;
   4. eval: pyramid inference on the curated real-frame fixture
@@ -59,7 +70,7 @@ def fixture_indices():
     return out
 
 
-def harvest(stride, holdout, max_per_video=60):
+def harvest(stride, holdout, max_per_video=150):
     """[(name, frame RGB, (t,r,b,l))] haar detections after track-median
     veto; holdout videos and curated fixture frame indices are skipped."""
     import cv2
@@ -109,12 +120,42 @@ def harvest(stride, holdout, max_per_video=60):
     return kept
 
 
-def window_crops(harvested, rng, per_det=3, neg_frac=0.2, squeeze_frac=0.15):
+def _jitter(img, rng, p=0.35):
+    """Photometric jitter: brightness/contrast shift on a fraction of crops
+    (videos differ in exposure more than the synthetic composites do)."""
+    if rng.random() >= p:
+        return img
+    a = rng.uniform(0.75, 1.25)   # contrast
+    b = rng.uniform(-24, 24)      # brightness
+    return np.clip(img.astype(np.float32) * a + b, 0, 255).astype(np.uint8)
+
+
+def _sample_u(rng):
+    """Face fraction of the window side: mass in the trained 0.30-0.80
+    band, tails covering the scale-1 windows on 1080p (face ~0.15-0.4 of
+    the short side) and extreme close-ups."""
+    x = rng.random()
+    if x < 0.70:
+        return rng.uniform(0.30, 0.80)
+    if x < 0.90:
+        return rng.uniform(0.16, 0.30)
+    return rng.uniform(0.80, 0.92)
+
+
+def window_crops(harvested, rng, per_det=3, neg_frac=0.2, squeeze_frac=0.15,
+                 flip_p=0.5):
     """(crop [128,128,3] u8, boxes [[cy,cx,h,w]]) samples mirroring the
     pyramid-inference window distribution."""
     import cv2
 
     from genconvit_tpu.models.facedet import INPUT_SIZE
+
+    def emit(img, boxes):
+        img = _jitter(img, rng)
+        if rng.random() < flip_p:  # mirror: cx -> 1-cx
+            img = img[:, ::-1].copy()
+            boxes = [[cy, 1.0 - cx, h, w] for cy, cx, h, w in boxes]
+        samples.append((img, boxes))
 
     samples = []
     for _, frame, (t, r, b, l) in harvested:
@@ -124,10 +165,10 @@ def window_crops(harvested, rng, per_det=3, neg_frac=0.2, squeeze_frac=0.15):
             if rng.random() < squeeze_frac:
                 img = cv2.resize(frame, (INPUT_SIZE, INPUT_SIZE),
                                  interpolation=cv2.INTER_AREA)
-                samples.append((img, [[(t + b) / 2 / H, (l + r) / 2 / W,
-                                       (b - t) / H, (r - l) / W]]))
+                emit(img, [[(t + b) / 2 / H, (l + r) / 2 / W,
+                            (b - t) / H, (r - l) / W]])
                 continue
-            u = rng.uniform(0.30, 0.80)
+            u = _sample_u(rng)
             s = int(round(fside / u))
             s = min(s, H, W)
             if s < fside:  # face wider than the frame's short side
@@ -141,9 +182,9 @@ def window_crops(harvested, rng, per_det=3, neg_frac=0.2, squeeze_frac=0.15):
             crop = frame[t0: t0 + s, l0: l0 + s]
             img = cv2.resize(crop, (INPUT_SIZE, INPUT_SIZE),
                              interpolation=cv2.INTER_AREA)
-            samples.append((img, [[((t + b) / 2 - t0) / s,
-                                   ((l + r) / 2 - l0) / s,
-                                   (b - t) / s, (r - l) / s]]))
+            emit(img, [[((t + b) / 2 - t0) / s,
+                        ((l + r) / 2 - l0) / s,
+                        (b - t) / s, (r - l) / s]])
         if rng.random() < neg_frac * per_det:
             # face-free window: same scale family, zero overlap with the box
             s = int(round(fside / rng.uniform(0.30, 0.80)))
