@@ -2,9 +2,12 @@
 """Minimal production serving endpoint.
 
 POST a video to /predict and get the REAL/FAKE verdict JSON; GET /healthz for
-liveness. The model stays resident and jitted; host preprocessing runs per
-request while the chip is shared across requests (the engine's fixed-shape
-compile cache means no recompiles after warmup).
+liveness. The model stays resident and jitted; requests flow through the
+STAGED pipeline by default (infer/serve_pipeline.py — the serving analog of
+the engine's grouped production driver: shared decode pool, greedy drain,
+one batched detect, one batched launch per drain). `--batcher micro`
+restores the window-based MicroBatcher, `--batcher none` the lock-serialized
+per-request path (both kept as measured baselines, docs/performance.md).
 
   python serve.py [--port 8787] [--net genconvit] [--f 15] [--fp16]
   curl -s -X POST --data-binary @video.mp4 localhost:8787/predict
@@ -26,10 +29,10 @@ logging.basicConfig(level=logging.INFO, format="%(message)s")
 log = logging.getLogger("genconvit_tpu.serve")
 
 
-def make_handler(predictor, num_frames: int, batcher=None):
-    """batcher: optional infer.batcher.MicroBatcher — concurrent requests
-    coalesce into one batched launch instead of serializing the chip behind
-    a lock. Falls back to lock-serialized per-video calls when None."""
+def make_handler(predictor, num_frames: int, batcher=None, pipeline=None):
+    """pipeline: infer.serve_pipeline.StagedPipeline (production staging).
+    batcher: infer.batcher.MicroBatcher (window-based device batching only).
+    With neither, requests lock-serialize the chip per video."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -46,11 +49,14 @@ def make_handler(predictor, num_frames: int, batcher=None):
                 self._reply(200, {"status": "ok"})
             elif self.path == "/statz":
                 # device-side accounting: how many launches served how many
-                # videos (the batcher's whole point is launches << videos)
-                if batcher is not None:
-                    self._reply(200, {"mode": "micro-batched",
-                                      "device_launches": batcher.launches,
-                                      "videos_scored": batcher.batched_videos})
+                # videos (the staging's whole point is launches << videos)
+                src = pipeline or batcher
+                if src is not None:
+                    self._reply(200, {
+                        "mode": ("staged" if pipeline is not None
+                                 else "micro-batched"),
+                        "device_launches": src.launches,
+                        "videos_scored": src.batched_videos})
                 else:
                     self._reply(200, {"mode": "lock-serialized"})
             else:
@@ -72,12 +78,18 @@ def make_handler(predictor, num_frames: int, batcher=None):
             try:
                 tmp.write(data)
                 tmp.close()
-                faces = predictor.extract_faces(tmp.name, num_frames)
-                if batcher is not None:
-                    y, y_val = batcher.submit(faces)
+                if pipeline is not None:
+                    # staged: decode/detect/crop/launch all shared
+                    y, y_val, faces_found = pipeline.submit(tmp.name)
                 else:
-                    with lock:
-                        y, y_val = predictor.predict_faces(faces, num_frames)
+                    faces = predictor.extract_faces(tmp.name, num_frames)
+                    faces_found = int(len(faces))
+                    if batcher is not None:
+                        y, y_val = batcher.submit(faces)
+                    else:
+                        with lock:
+                            y, y_val = predictor.predict_faces(faces,
+                                                               num_frames)
                 from genconvit_tpu.infer.aggregate import real_or_fake
 
                 self._reply(200, {
@@ -85,7 +97,7 @@ def make_handler(predictor, num_frames: int, batcher=None):
                     "pred": round(float(y_val), 6),
                     "y": int(y),
                     "num_frames": num_frames,
-                    "faces_found": int(len(faces)),
+                    "faces_found": faces_found,
                 })
             except Exception as e:  # per-request fault tolerance
                 log.error("predict failed: %s", e)
@@ -109,9 +121,18 @@ def main():
     p.add_argument("--fp16", action="store_true")
     p.add_argument("--face-backend", default=None)
     p.add_argument("--weights-dir", default="weight")
-    p.add_argument("--batch-window-ms", type=float, default=8.0,
-                   help="micro-batch window; 0 disables cross-request batching")
+    p.add_argument("--batcher", choices=["staged", "micro", "none"],
+                   default="staged",
+                   help="staged = production pipeline (default); micro = "
+                        "window-based device batching; none = per-request "
+                        "lock")
+    p.add_argument("--batch-window-ms", type=float, default=None,
+                   help="straggler window: micro default 8ms, staged "
+                        "default 0 (greedy drain). For backward compat, "
+                        "explicit 0 with --batcher micro selects 'none'.")
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--decode-workers", type=int, default=None,
+                   help="staged decode pool size (default 2x cores, <=8)")
     args = p.parse_args()
 
     from genconvit_tpu.config import load_config
@@ -127,14 +148,12 @@ def main():
     predictor.predict_faces(
         np.zeros((1, config.img_size, config.img_size, 3), np.uint8), args.f)
 
-    batcher = None
-    if args.batch_window_ms > 0:
-        from genconvit_tpu.infer.batcher import MicroBatcher
-
-        batcher = MicroBatcher(predictor, args.f,
-                               window_ms=args.batch_window_ms,
-                               max_batch=args.max_batch)
-        # warm EVERY power-of-two bucket the batcher can launch (1,2,4,...,
+    mode = args.batcher
+    if mode == "micro" and args.batch_window_ms == 0:
+        mode = "none"  # old `--batch-window-ms 0` semantics
+    batcher = pipeline = None
+    if mode in ("staged", "micro"):
+        # warm EVERY power-of-two bucket the staging can launch (1,2,4,...,
         # max_batch): each distinct [B,F,...] shape is its own XLA
         # compilation, and an un-warmed bucket turns the first concurrent
         # burst into a 30-80s compile INSIDE a request (measured: p50 90.5s
@@ -147,11 +166,27 @@ def main():
                 np.ones((b, args.f), np.float32))
             log.info("warmed batch bucket B=%d", b)
             b *= 2
-    log.info("model warm; serving on %s:%d (micro-batch window %.1fms)",
-             args.host, args.port, args.batch_window_ms)
+    if mode == "staged":
+        from genconvit_tpu.infer.serve_pipeline import StagedPipeline
 
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(predictor, args.f, batcher))
+        pipeline = StagedPipeline(
+            predictor, args.f, max_batch=args.max_batch,
+            decode_workers=args.decode_workers,
+            window_ms=args.batch_window_ms or 0.0)
+    elif mode == "micro":
+        from genconvit_tpu.infer.batcher import MicroBatcher
+
+        batcher = MicroBatcher(
+            predictor, args.f,
+            window_ms=(8.0 if args.batch_window_ms is None
+                       else args.batch_window_ms),
+            max_batch=args.max_batch)
+    log.info("model warm; serving on %s:%d (batcher=%s)",
+             args.host, args.port, mode)
+
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(predictor, args.f, batcher, pipeline))
     server.serve_forever()
 
 

@@ -13,7 +13,8 @@ warmup burst (first-request compiles: detector + model shapes), then runs
 Usage:
   python tools/bench_serve.py [--video <mp4>] [--clients 8] [--duration 20]
       [--frames 15] [--net genconvit] [--face-backend fullframe]
-      [--modes 8,0]   # micro-batch window ms per mode; 0 = lock-serialized
+      [--modes staged,8,0]  # staged = production pipeline; a number =
+                            # micro-batch window ms; 0 = lock-serialized
 
 Output: one JSON line per mode + a final summary line comparing them.
 The serving contract measured here is the reference's per-video verdict
@@ -119,9 +120,10 @@ def main():
                     help="serving preprocess backend (fullframe isolates "
                          "the chip path; hybrid adds detector cost)")
     ap.add_argument("--weights-dir", default="weight")
-    ap.add_argument("--modes", default="8,0",
-                    help="comma list of --batch-window-ms values to compare "
-                         "(0 = lock-serialized baseline)")
+    ap.add_argument("--modes", default="staged,8,0",
+                    help="comma list: 'staged' = production pipeline, a "
+                         "number = micro-batch window ms, 0 = "
+                         "lock-serialized baseline")
     ap.add_argument("--server-timeout", type=float, default=600.0)
     args = ap.parse_args()
 
@@ -132,8 +134,13 @@ def main():
         cmd = [sys.executable, os.path.join(REPO, "serve.py"),
                "--port", str(args.port), "--net", args.net,
                "--f", str(args.frames), "--face-backend", args.face_backend,
-               "--weights-dir", args.weights_dir,
-               "--batch-window-ms", mode]
+               "--weights-dir", args.weights_dir]
+        if mode == "staged":
+            cmd += ["--batcher", "staged"]
+        elif mode == "0":
+            cmd += ["--batcher", "none"]
+        else:
+            cmd += ["--batcher", "micro", "--batch-window-ms", mode]
         print(f"[bench_serve] starting server (batch window {mode}ms)...",
               file=sys.stderr, flush=True)
         proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.DEVNULL,
@@ -162,8 +169,13 @@ def main():
                 proc.wait(timeout=30)
             except subprocess.TimeoutExpired:
                 proc.kill()
-        key = f"window_{mode}ms" if mode != "0" else "lock_serialized"
-        r["batch_window_ms"] = float(mode)
+        if mode == "staged":
+            key = "staged"
+        elif mode == "0":
+            key = "lock_serialized"
+        else:
+            key = f"window_{mode}ms"
+            r["batch_window_ms"] = float(mode)
         results[key] = r
         print(json.dumps({key: r}), flush=True)
 
@@ -176,6 +188,11 @@ def main():
     if batched and serial and "req_per_sec" in serial:
         summary["batching_speedup"] = round(
             batched["req_per_sec"] / max(serial["req_per_sec"], 1e-9), 2)
+    staged = results.get("staged")
+    if staged and serial and "req_per_sec" in staged \
+            and "req_per_sec" in serial:
+        summary["staged_speedup"] = round(
+            staged["req_per_sec"] / max(serial["req_per_sec"], 1e-9), 2)
     print(json.dumps(summary), flush=True)
 
 
