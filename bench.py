@@ -68,6 +68,7 @@ _DROP_ORDER = (
     "dw_rank1_energy_mean", "plan", "baseline", "platform",
     "e2e_detect_backend", "e2e_decode_s", "e2e_device_wait_s",
     "ms_per_launch", "v_batch", "relay_degraded", "host_canary_ms",
+    "latency_longvideo_ms",
     "e2e_detect_jax_videos_per_sec", "e2e_detect_hybrid_videos_per_sec",
     "latency_v1_ms", "dw_rank1_videos_per_sec",
     "tunnel_streamed_videos_per_sec", "e2e_detect_videos_per_sec",
@@ -362,6 +363,44 @@ def main():
             del dev1, m1, lkeys
         except Exception as e:
             log(f"latency phase failed ({type(e).__name__}: {e}); "
+                "keeping earlier phases")
+
+    # ---- long-video latency: ONE video at F=120 (the sequence-axis
+    # workload, VERDICT r4 #8) ---- full-coverage scoring of a long clip is
+    # a single [1,120,...] launch on one chip; on a pod the same video's
+    # frame axis shards over 'data' (parallel/eval_shard.predict_long_video,
+    # masked psum-mean == max_prediction_value — parity proven on the CPU
+    # mesh). The single-chip latency here is that path's per-chip unit.
+    if os.environ.get("GENCONVIT_BENCH_LONGVIDEO", "1") == "1" \
+            and deadline_left() > 360:
+        try:
+            f_long = int(os.environ.get("GENCONVIT_BENCH_LONGVIDEO_F", "120"))
+            devL = [jax.device_put(rng.integers(
+                0, 255, (1, f_long, IMG, IMG, 3), np.uint8), device)
+                for _ in range(2)]
+            mL = jax.device_put(np.ones((1, f_long), np.float32), device)
+            fnL = predictor._forward_fn(f_long, batched=True, stacked=True)
+            lkeys = make_keys(2 * 6 + 3, salt=1201)
+            t0 = time.perf_counter()
+            np.asarray(fnL(predictor.params, devL[0], mL, lkeys[-1]))
+            log(f"long-video F={f_long}: first call (compile) "
+                f"{time.perf_counter() - t0:.1f}s")
+            np.asarray(fnL(predictor.params, devL[1], mL, lkeys[-2]))
+            lat = []
+            for trial in range(2):
+                t0 = time.perf_counter()
+                outs = [fnL(predictor.params, devL[i % 2], mL,
+                            lkeys[trial * 6 + i]) for i in range(6)]
+                np.asarray(jnp.stack(outs))
+                lat.append((time.perf_counter() - t0) / 6 * 1e3)
+                log(f"long-video trial {trial}: {lat[-1]:.1f} ms/video "
+                    f"({f_long * 1e3 / lat[-1]:.0f} frames/s)")
+            refresh(extra={
+                "latency_longvideo_ms": round(float(np.median(lat)), 1)})
+            emit()
+            del devL, mL, lkeys
+        except Exception as e:
+            log(f"long-video phase failed ({type(e).__name__}: {e}); "
                 "keeping earlier phases")
 
     # ---- dw_rank=1 approximate-mode throughput (side number, NOT headline) -
