@@ -202,15 +202,84 @@ def window_crops(harvested, rng, per_det=3, neg_frac=0.2, squeeze_frac=0.15,
     return samples
 
 
+def hard_negatives(harvested, ckpt, rng, cap=1500, frames_per_video=30):
+    """Student-FP mining (VERDICT r4 #2): run the CURRENT checkpoint's
+    pyramid on a subsample of harvested frames; every student detection
+    that does not overlap the teacher box becomes a dedicated negative
+    window centered on the false positive (or a corrective positive when
+    the real face substantially enters that window). These windows target
+    exactly the mislocalizations that cost fixture IoU — generic random
+    negatives almost never cover them."""
+    import cv2
+
+    from genconvit_tpu.data.faces import JaxFaceDetector, _box_iou
+    from genconvit_tpu.models.facedet import INPUT_SIZE
+
+    det = JaxFaceDetector(ckpt, score_thresh=0.3)
+    by_video = {}
+    for name, frame, box in harvested:
+        by_video.setdefault(name, []).append((frame, box))
+    out = []
+    n_pos = 0
+    for name, items in sorted(by_video.items()):
+        if len(items) > frames_per_video:  # bound the pyramid cost
+            sel = np.linspace(0, len(items) - 1, frames_per_video).astype(int)
+            items = [items[i] for i in sel]
+        found = det.detect(np.stack([f for f, _ in items]))
+        for (frame, tbox), dets in zip(items, found):
+            H, W = frame.shape[:2]
+            t, r, b, l = tbox
+            fh, fw = b - t, r - l
+            for d in dets:
+                if _box_iou(d, tbox) >= 0.10:
+                    continue  # roughly right — not a hard negative
+                dside = max(d[2] - d[0], d[1] - d[3])
+                if dside <= 8:
+                    continue
+                s = int(round(dside / rng.uniform(0.35, 0.70)))
+                s = max(16, min(s, H, W))
+                cy, cx = (d[0] + d[2]) // 2, (d[3] + d[1]) // 2
+                t0 = int(np.clip(cy - s // 2, 0, H - s))
+                l0 = int(np.clip(cx - s // 2, 0, W - s))
+                crop = frame[t0: t0 + s, l0: l0 + s]
+                img = cv2.resize(crop, (INPUT_SIZE, INPUT_SIZE),
+                                 interpolation=cv2.INTER_AREA)
+                fcy, fcx = (t + b) / 2, (l + r) / 2
+                inside = (t0 <= fcy <= t0 + s) and (l0 <= fcx <= l0 + s)
+                frac = max(fh, fw) / s
+                if inside and frac >= 0.16:
+                    # the FP window actually contains the face: supervise
+                    # the correct box instead of a blanket negative
+                    boxes = [[(fcy - t0) / s, (fcx - l0) / s, fh / s, fw / s]]
+                    n_pos += 1
+                else:
+                    ih = max(0, min(b, t0 + s) - max(t, t0))
+                    iw = max(0, min(r, l0 + s) - max(l, l0))
+                    if ih * iw > 0.25 * fh * fw:
+                        continue  # partially-visible face: no clean label
+                    boxes = []
+                out.append((img, boxes))
+                if len(out) >= cap:
+                    print(f"hard negatives: cap {cap} hit "
+                          f"({n_pos} corrective positives)")
+                    return out
+    print(f"hard negatives: {len(out)} windows "
+          f"({n_pos} corrective positives)")
+    return out
+
+
 def main():
     p = argparse.ArgumentParser("facedet_distill")
     p.add_argument("--out", default="/tmp/facedet_distilled.gcv")
     p.add_argument("--init", default=None,
                    help="checkpoint to fine-tune (default: shipped asset; "
                         "'none' = from scratch)")
-    p.add_argument("--stride", type=int, default=5)
+    p.add_argument("--stride", type=int, default=3)
+    p.add_argument("--max-per-video", type=int, default=150)
     p.add_argument("--holdout", default=DEFAULT_HOLDOUT)
     p.add_argument("--per-det", type=int, default=3)
+    p.add_argument("--hardneg", type=int, default=1500,
+                   help="student-FP mining cap (0 disables)")
     p.add_argument("--synth-n", type=int, default=3072,
                    help="synthetic composites mixed in (forgetting guard)")
     p.add_argument("--epochs", type=int, default=10)
@@ -238,11 +307,18 @@ def main():
 
     if not args.eval_only:
         print("harvesting haar detections...")
-        harvested = harvest(args.stride, holdout)
+        harvested = harvest(args.stride, holdout,
+                            max_per_video=args.max_per_video)
         rng = np.random.default_rng(args.seed)
         real = window_crops(harvested, rng, per_det=args.per_det)
         print(f"{len(harvested)} teacher detections -> {len(real)} "
               f"real-window training crops")
+        if args.hardneg > 0:
+            base = (args.init if args.init not in (None, "none")
+                    else default_facedet_checkpoint())
+            if base:
+                print("mining student false positives...")
+                real += hard_negatives(harvested, base, rng, cap=args.hardneg)
 
         train_faces = load_face_crops(
             os.path.join(REF, "sample_train_data"), ("train", "valid"))
