@@ -324,15 +324,19 @@ def test_realframe_fixture_iou():
     assert mean_jax > 1.5 * mean_full, \
         f"jax {mean_jax:.3f} vs fullframe {mean_full:.3f}"
     if "hybrid" in ious:
-        # quality leader: staged scored cascades + calibration, fused with
-        # jax (extended 148-frame fixture: hybrid 0.664 / jax 0.614 / haar
-        # 0.573; holdout kaggle videos 0.796/0.711; the bar sits well below
-        # to absorb the 3-frame subsample)
+        # staged scored cascades + calibration, fused with jax. Since the
+        # round-5 hard-negative distillation the jax student EXCEEDS the
+        # hybrid on the extended 148-frame fixture (jax 0.672 / hybrid
+        # 0.656 / haar 0.573; zero-leakage holdouts jax 0.735/0.688 vs
+        # hybrid 0.743/0.644) — so the old hybrid>=jax ordering no longer
+        # holds; both must clear the same floor, and they must agree within
+        # a band (the fusion shares the jax proposals, so a large gap
+        # signals a fusion regression, not a quality ranking).
         mean_hybrid = float(np.mean(ious["hybrid"]))
         assert mean_hybrid >= 0.50, \
             f"hybrid real-frame mean IoU {mean_hybrid:.3f}"
-        assert mean_hybrid >= mean_jax, \
-            f"hybrid {mean_hybrid:.3f} below jax {mean_jax:.3f}"
+        assert abs(mean_hybrid - mean_jax) <= 0.15, \
+            f"hybrid {mean_hybrid:.3f} vs jax {mean_jax:.3f} diverged"
 
 
 def test_apply_calib_geometry():
